@@ -1,0 +1,119 @@
+"""Causal depthwise conv1d tests (pattern follows
+dis_causal_conv1d/tests/test_causal_conv1d.py: odd lengths, widths 2-4,
+update-vs-full-scan equivalence)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from zigma_tpu.ops.causal_conv1d import (
+    causal_conv1d,
+    causal_conv1d_update,
+)
+from zigma_tpu.ops.norms import add_norm, layer_norm, rms_norm
+
+
+def _numpy_causal_conv(x, w, b, silu):
+    B, L, D = x.shape
+    W = w.shape[-1]
+    xp = np.pad(x, ((0, 0), (W - 1, 0), (0, 0)))
+    y = np.zeros((B, L, D))
+    for t in range(L):
+        window = xp[:, t : t + W, :]  # (B, W, D)
+        y[:, t] = np.einsum("bwd,dw->bd", window, w)
+    if b is not None:
+        y = y + b
+    if silu:
+        y = y * (1.0 / (1.0 + np.exp(-y)))
+    return y
+
+
+@pytest.mark.parametrize("W", [2, 3, 4])
+@pytest.mark.parametrize("L", [1, 8, 151])
+def test_conv_matches_numpy(W, L):
+    rng = np.random.default_rng(0)
+    B, D = 2, 6
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    w = rng.standard_normal((D, W)).astype(np.float32)
+    b = rng.standard_normal(D).astype(np.float32)
+    got = causal_conv1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                        activation=None)
+    want = _numpy_causal_conv(x, w, b, silu=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_silu():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 9, 4)).astype(np.float32)
+    w = rng.standard_normal((4, 4)).astype(np.float32)
+    got = causal_conv1d(jnp.asarray(x), jnp.asarray(w), None, activation="silu")
+    lin = _numpy_causal_conv(x, w, None, silu=False)
+    want = lin * (1 / (1 + np.exp(-lin)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("W", [2, 4])
+def test_update_matches_full(W):
+    rng = np.random.default_rng(2)
+    B, L, D = 2, 11, 5
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((D, W)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    full = causal_conv1d(x, w, b, activation="silu")
+    state = jnp.zeros((B, W, D), jnp.float32)
+    outs = []
+    for t in range(L):
+        y, state = causal_conv1d_update(x[:, t], state, w, b, activation="silu")
+        outs.append(y)
+    got = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_initial_state_continuation():
+    """Chunked prefill: conv over [x1; x2] == conv(x1) then conv(x2, state)."""
+    rng = np.random.default_rng(3)
+    B, D, W = 2, 4, 4
+    x = jnp.asarray(rng.standard_normal((B, 20, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((D, W)).astype(np.float32))
+    full = causal_conv1d(x, w, None, activation=None)
+    a = causal_conv1d(x[:, :12], w, None, activation=None)
+    b = causal_conv1d(x[:, 12:], w, None, activation=None,
+                      initial_state=x[:, 12 - (W - 1) : 12])
+    got = jnp.concatenate([a, b], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------- norms ---------------------------------------
+
+
+def test_rms_norm_numpy():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 7, 16)).astype(np.float32)
+    w = rng.standard_normal(16).astype(np.float32)
+    got = rms_norm(jnp.asarray(x), jnp.asarray(w), eps=1e-5)
+    want = x / np.sqrt((x**2).mean(-1, keepdims=True) + 1e-5) * w
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_layer_norm_numpy():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, 7, 16)).astype(np.float32)
+    got = layer_norm(jnp.asarray(x), eps=1e-6)
+    mu = x.mean(-1, keepdims=True)
+    want = (x - mu) / np.sqrt(((x - mu) ** 2).mean(-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_add_norm_contract():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    w = jnp.ones(8)
+    out, res = add_norm(x, w, residual=r, prenorm=True, kind="rms")
+    np.testing.assert_allclose(np.asarray(res), np.asarray(x + r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(rms_norm(x + r, w)), rtol=1e-6
+    )
+    assert res.dtype == jnp.float32

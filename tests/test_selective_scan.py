@@ -1,0 +1,201 @@
+"""Selective-scan parity tests.
+
+Structure mirrors the reference's kernel-vs-golden-model pattern
+(dis_mamba/tests/ops/test_selective_scan.py): every fast backend is compared
+against the sequential golden model for values AND gradients, plus a numpy
+hand-rolled oracle for the golden model itself.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from zigma_tpu.ops.selective_scan import (
+    selective_scan,
+    selective_scan_ref,
+    selective_state_update,
+)
+
+
+def _numpy_oracle(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                  delta_softplus=False):
+    """Straight-line numpy implementation of the recurrence."""
+    u = np.asarray(u, np.float64)
+    delta = np.asarray(delta, np.float64)
+    if delta_bias is not None:
+        delta = delta + np.asarray(delta_bias, np.float64)
+    if delta_softplus:
+        delta = np.logaddexp(0.0, delta)
+    A = np.asarray(A, np.float64)
+    Bn = np.asarray(B, np.float64)
+    Cn = np.asarray(C, np.float64)
+    bsz, L, d = u.shape
+    n = A.shape[1]
+    x = np.zeros((bsz, d, n))
+    ys = np.zeros((bsz, L, d))
+    for t in range(L):
+        a = np.exp(delta[:, t, :, None] * A[None])
+        bt = Bn[:, t, None, :] if Bn.ndim == 3 else Bn[None]
+        ct = Cn[:, t, None, :] if Cn.ndim == 3 else Cn[None]
+        x = a * x + delta[:, t, :, None] * bt * u[:, t, :, None]
+        ys[:, t] = (x * ct).sum(-1)
+    if D is not None:
+        ys = ys + u * np.asarray(D, np.float64)
+    if z is not None:
+        zf = np.asarray(z, np.float64)
+        ys = ys * (zf / (1 + np.exp(-zf)))
+    return ys
+
+
+def _make_inputs(rng, bsz=2, L=37, d=12, n=4, with_D=True, with_z=True,
+                 with_bias=True, varBC=True, dtype=jnp.float32):
+    u = jnp.asarray(rng.standard_normal((bsz, L, d)), dtype)
+    delta = jnp.asarray(0.5 * rng.standard_normal((bsz, L, d)), dtype)
+    A = -jnp.exp(jnp.asarray(0.5 * rng.standard_normal((d, n)), jnp.float32))
+    if varBC:
+        B = jnp.asarray(rng.standard_normal((bsz, L, n)), dtype)
+        C = jnp.asarray(rng.standard_normal((bsz, L, n)), dtype)
+    else:
+        B = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+        C = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32) if with_D else None
+    z = jnp.asarray(rng.standard_normal((bsz, L, d)), dtype) if with_z else None
+    db = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32) if with_bias else None
+    return u, delta, A, B, C, D, z, db
+
+
+def test_ref_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    u, delta, A, B, C, D, z, db = _make_inputs(rng)
+    out = selective_scan_ref(u, delta, A, B, C, D, z, db, delta_softplus=True)
+    want = _numpy_oracle(u, delta, A, B, C, D, z, db, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-2, atol=1e-3)
+
+
+def test_ref_static_bc_matches_oracle():
+    rng = np.random.default_rng(1)
+    u, delta, A, B, C, D, z, db = _make_inputs(rng, varBC=False)
+    out = selective_scan_ref(u, delta, A, B, C, D, z, db, delta_softplus=True)
+    want = _numpy_oracle(u, delta, A, B, C, D, z, db, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("backend", ["assoc", "chunked"])
+@pytest.mark.parametrize("L", [8, 37, 128, 257])
+@pytest.mark.parametrize("with_z", [True, False])
+def test_fast_backends_match_ref_fwd(backend, L, with_z):
+    rng = np.random.default_rng(2)
+    u, delta, A, B, C, D, z, db = _make_inputs(rng, L=L, with_z=with_z)
+    want = selective_scan_ref(u, delta, A, B, C, D, z, db, delta_softplus=True)
+    got = selective_scan(u, delta, A, B, C, D, z, db, delta_softplus=True,
+                         backend=backend, chunk=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["assoc", "chunked"])
+@pytest.mark.parametrize("with_D", [True, False])
+@pytest.mark.parametrize("with_z", [True, False])
+@pytest.mark.parametrize("with_bias", [True, False])
+def test_fast_backends_match_ref_grads(backend, with_D, with_z, with_bias):
+    rng = np.random.default_rng(3)
+    u, delta, A, B, C, D, z, db = _make_inputs(
+        rng, L=50, with_D=with_D, with_z=with_z, with_bias=with_bias
+    )
+    args = [a for a in (u, delta, A, B, C, D, z, db) if a is not None]
+
+    def rebuild(flat):
+        it = iter(flat)
+        return tuple(next(it) if a is not None else None
+                     for a in (u, delta, A, B, C, D, z, db))
+
+    def loss_with(bk):
+        def f(*flat):
+            uu, dd, aa, bb, cc, DD, zz, bias = rebuild(flat)
+            out = selective_scan(uu, dd, aa, bb, cc, DD, zz, bias,
+                                 delta_softplus=True, backend=bk, chunk=16)
+            # non-trivial cotangent
+            w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape)
+            return jnp.sum(out * w)
+        return f
+
+    g_ref = jax.grad(loss_with("ref"), argnums=tuple(range(len(args))))(*args)
+    g_fast = jax.grad(loss_with(backend), argnums=tuple(range(len(args))))(*args)
+    for gr, gf in zip(g_ref, g_fast):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_bf16_tolerances():
+    # bf16 inputs, fp32 params: follows the reference's dtype-dependent bounds
+    rng = np.random.default_rng(4)
+    u, delta, A, B, C, D, z, db = _make_inputs(rng, L=64, dtype=jnp.bfloat16)
+    want = selective_scan_ref(u, delta, A, B, C, D, z, db, delta_softplus=True)
+    got = selective_scan(u, delta, A, B, C, D, z, db, delta_softplus=True,
+                         backend="chunked", chunk=16)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=5e-2,
+    )
+
+
+def test_return_last_state():
+    rng = np.random.default_rng(5)
+    u, delta, A, B, C, D, z, db = _make_inputs(rng, L=40)
+    out_r, last_r = selective_scan_ref(u, delta, A, B, C, D, z, db,
+                                       delta_softplus=True,
+                                       return_last_state=True)
+    out_c, last_c = selective_scan(u, delta, A, B, C, D, z, db,
+                                   delta_softplus=True, backend="chunked",
+                                   chunk=16, return_last_state=True)
+    np.testing.assert_allclose(np.asarray(last_c), np.asarray(last_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_state_update_matches_scan_step():
+    """Decoding step-by-step must equal the full scan."""
+    rng = np.random.default_rng(6)
+    u, delta, A, B, C, D, z, db = _make_inputs(rng, L=9)
+    out_full = selective_scan_ref(u, delta, A, B, C, D, z, db,
+                                  delta_softplus=True)
+    bsz, L, d = u.shape
+    state = jnp.zeros((bsz, d, A.shape[1]), jnp.float32)
+    outs = []
+    for t in range(L):
+        y, state = selective_state_update(
+            state, u[:, t], delta[:, t], A, B[:, t], C[:, t], D, z[:, t],
+            dt_bias=db, dt_softplus=True,
+        )
+        outs.append(y)
+    got = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_bc_ref():
+    rng = np.random.default_rng(7)
+    bsz, L, d, g, n = 2, 12, 8, 2, 4
+    u = jnp.asarray(rng.standard_normal((bsz, L, d)), jnp.float32)
+    delta = jnp.asarray(0.5 * rng.standard_normal((bsz, L, d)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.standard_normal((d, n)), jnp.float32))
+    B = jnp.asarray(rng.standard_normal((bsz, L, g, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((bsz, L, g, n)), jnp.float32)
+    out_g = selective_scan_ref(u, delta, A, B, C, delta_softplus=True)
+    # expanding groups manually must agree
+    Bx = jnp.repeat(B, d // g, axis=2)
+    out_manual = jnp.stack(
+        [
+            selective_scan_ref(
+                u[..., k : k + 1], delta[..., k : k + 1], A[k : k + 1],
+                Bx[:, :, k, :], jnp.repeat(C, d // g, axis=2)[:, :, k, :],
+                delta_softplus=True,
+            )[..., 0]
+            for k in range(d)
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_manual),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,525 @@
+"""Mamba selective-scan SSM for TPU.
+
+Computes the diagonal state-space recurrence
+
+    x_t = exp(dt_t * A) * x_{t-1} + dt_t * B_t * u_t          (state, (D, N))
+    y_t = <C_t, x_t> (+ D * u_t)  (* silu(z_t))               (output, (D,))
+
+This is the TPU-native equivalent of the reference CUDA kernel
+(``dis_mamba/csrc/selective_scan/``) and its PyTorch golden model
+``selective_scan_ref`` (dis_mamba/mamba_ssm/ops/selective_scan_interface.py:86-152).
+
+Design notes (TPU-first, not a translation):
+
+- Layout is ``(batch, seq, channels)`` — channels on the 128-wide lane
+  dimension, unlike the reference's CUDA-friendly ``(B, D, L)``.
+- ``backend="chunked"`` (default for long sequences) is a
+  ``jax.custom_vjp`` that runs a ``lax.scan`` over sequence chunks with the
+  state carried between chunks, an associative scan *within* each chunk, and
+  a backward pass that recomputes per-chunk states from saved chunk carries
+  before running the reverse adjoint scan.  This mirrors the reference
+  kernel's chunking scheme (selective_scan.cpp:307-313, chunked prefix
+  carry) and its recompute-in-backward strategy — but with no atomics, so
+  gradients are bitwise deterministic (the CUDA backward uses
+  ``gpuAtomicAdd`` for dB/dC and is not).
+- ``backend="assoc"`` materializes the full ``(B, L, D, N)`` operands and
+  differentiates through ``lax.associative_scan`` — simple, good for short
+  sequences / debugging.
+- ``backend="ref"`` is the sequential ``lax.scan`` golden model used by the
+  parity tests (tolerances follow dis_mamba/tests/ops/test_selective_scan.py).
+
+All internal accumulation is float32 regardless of input dtype, matching the
+reference kernel's fp32 state/weight discipline (selective_scan.cpp:282-293).
+Complex-valued ``A`` (vestigial in the reference; unused by every shipped
+ZigMa config) is intentionally unsupported.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "selective_scan",
+    "selective_scan_ref",
+    "selective_state_update",
+    "selective_scan_flops",
+]
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def _apply_delta_prep(delta, delta_bias, delta_softplus):
+    delta = _f32(delta)
+    if delta_bias is not None:
+        delta = delta + _f32(delta_bias)
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    return delta
+
+
+def _expand_bc(M, batch, L, d_inner):
+    """Normalize B/C to (batch, L, d_inner-broadcastable, N) float32.
+
+    Accepts (N,)-less shapes: (D, N) static, (B, L, N) variable shared over
+    channels, or (B, L, G, N) grouped variable (each group covers
+    ``d_inner // G`` consecutive channels, matching the reference's
+    ``repeat(B, "B G N L -> B (G H) N L")``).
+    Returns an array broadcastable against (batch, L, d_inner, N).
+    """
+    M = _f32(M)
+    if M.ndim == 2:  # static (D, N)
+        return M[None, None]  # (1, 1, D, N)
+    if M.ndim == 3:  # (B, L, N)
+        return M[:, :, None, :]  # (B, L, 1, N)
+    if M.ndim == 4:  # (B, L, G, N)
+        G = M.shape[2]
+        return jnp.repeat(M, d_inner // G, axis=2)  # (B, L, D, N)
+    raise ValueError(f"bad B/C shape {M.shape}")
+
+
+# ---------------------------------------------------------------------------
+# Golden model: sequential scan over time
+# ---------------------------------------------------------------------------
+
+
+def selective_scan_ref(
+    u,
+    delta,
+    A,
+    B,
+    C,
+    D: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+):
+    """Sequential golden model (``lax.scan`` over time, fp32 compute).
+
+    Args:
+      u: (batch, L, d_inner) input sequence.
+      delta: (batch, L, d_inner) timestep.
+      A: (d_inner, N) state matrix (real; fp32).
+      B, C: (batch, L, N), (batch, L, G, N), or static (d_inner, N).
+      D: optional (d_inner,) skip.
+      z: optional (batch, L, d_inner) gate; output multiplied by silu(z).
+      delta_bias: optional (d_inner,) added to delta before softplus.
+    Returns out (batch, L, d_inner) in u.dtype; optionally also the final
+    state (batch, d_inner, N) fp32.
+    """
+    dtype_in = u.dtype
+    batch, L, d_inner = u.shape
+    N = A.shape[1]
+    uf = _f32(u)
+    delta = _apply_delta_prep(delta, delta_bias, delta_softplus)
+    A = _f32(A)
+    Bv = jnp.broadcast_to(_expand_bc(B, batch, L, d_inner), (batch, L, d_inner, N))
+    Cv = jnp.broadcast_to(_expand_bc(C, batch, L, d_inner), (batch, L, d_inner, N))
+
+    log_a = delta[..., None] * A  # (B, L, D, N)
+    b = (delta * uf)[..., None] * Bv
+
+    def step(x, inp):
+        la_t, b_t, c_t = inp
+        x = jnp.exp(la_t) * x + b_t
+        y = jnp.sum(x * c_t, axis=-1)
+        return x, y
+
+    x0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+    # scan over time: move L to the leading axis
+    xs_last, ys = jax.lax.scan(
+        step,
+        x0,
+        (
+            jnp.moveaxis(log_a, 1, 0),
+            jnp.moveaxis(b, 1, 0),
+            jnp.moveaxis(Cv, 1, 0),
+        ),
+    )
+    y = jnp.moveaxis(ys, 0, 1)  # (B, L, D)
+    out = y if D is None else y + uf * _f32(D)
+    if z is not None:
+        out = out * jax.nn.silu(_f32(z))
+    out = out.astype(dtype_in)
+    return (out, xs_last) if return_last_state else out
+
+
+# ---------------------------------------------------------------------------
+# assoc backend: full-sequence associative scan (autodiff-through)
+# ---------------------------------------------------------------------------
+
+
+def _scan_combine(left, right):
+    """Monoid for x -> a*x + b segments in log-a space:
+    (la1, b1) ∘ (la2, b2) = (la1+la2, b1*exp(la2)+b2).
+    Same operator as the reference CUDA scan (selective_scan_common.h:108-129)
+    but with the multiplier kept as a log for exact exp fusion."""
+    la_l, b_l = left
+    la_r, b_r = right
+    return la_l + la_r, b_l * jnp.exp(la_r) + b_r
+
+
+def _selective_scan_assoc(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                          return_last_state):
+    dtype_in = u.dtype
+    batch, L, d_inner = u.shape
+    N = A.shape[1]
+    uf = _f32(u)
+    delta = _apply_delta_prep(delta, delta_bias, delta_softplus)
+    Bv = _expand_bc(B, batch, L, d_inner)
+    Cv = _expand_bc(C, batch, L, d_inner)
+
+    log_a = delta[..., None] * _f32(A)  # (B, L, D, N)
+    b = (delta * uf)[..., None] * Bv  # broadcast over D or N as needed
+    b = jnp.broadcast_to(b, log_a.shape)
+
+    _, xs = jax.lax.associative_scan(_scan_combine, (log_a, b), axis=1)
+    y = jnp.sum(xs * Cv, axis=-1)  # (B, L, D)
+    out = y if D is None else y + uf * _f32(D)
+    if z is not None:
+        out = out * jax.nn.silu(_f32(z))
+    out = out.astype(dtype_in)
+    return (out, xs[:, -1]) if return_last_state else out
+
+
+# ---------------------------------------------------------------------------
+# chunked backend: lax.scan over chunks + within-chunk associative scan,
+# custom VJP with per-chunk state recomputation
+# ---------------------------------------------------------------------------
+
+
+def _chunk_states(la, b, x0):
+    """Within-chunk scan seeded by carry x0.
+
+    la, b: (batch, cl, D, N); x0: (batch, D, N).
+    Returns xs (batch, cl, D, N) and the chunk-end state xs[:, -1].
+    """
+    la_cum, xs0 = jax.lax.associative_scan(_scan_combine, (la, b), axis=1)
+    xs = xs0 + jnp.exp(la_cum) * x0[:, None]
+    return xs
+
+
+def _chunk_adjoint(la, dx, g_in):
+    """Reverse adjoint scan within a chunk.
+
+    Solves g_t = dx_t + a_{t+1} g_{t+1} for t = cl-1 .. 0, where ``g_in`` is
+    the already-discounted contribution flowing in from the next chunk
+    (i.e. a_{t1+1} * g_{t1+1}).  Returns g (batch, cl, D, N).
+    This is the deterministic mirror of the reference's reverse postfix scan
+    (reverse_scan.cuh:202-290).
+    """
+    # reversed-time recurrence has multiplier a_{t+1}: shift la left by one,
+    # then flip; the last element (t = cl-1) has multiplier handled by g_in.
+    la_next = jnp.concatenate([la[:, 1:], jnp.zeros_like(la[:, :1])], axis=1)
+    la_r = jnp.flip(la_next, axis=1)
+    dx_r = jnp.flip(dx, axis=1)
+    la_cum_r, g_r0 = jax.lax.associative_scan(_scan_combine, (la_r, dx_r), axis=1)
+    g_r = g_r0 + jnp.exp(la_cum_r) * g_in[:, None]
+    return jnp.flip(g_r, axis=1)
+
+
+def _pad_chunks(x, L_pad, axis=1):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, L_pad - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _chunked_core(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
+    out, _ = _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias)
+    return out
+
+
+def _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
+    """Forward pass.  cfg = (chunk, softplus, has_D, has_z, has_bias).
+
+    u, delta: (B, L, D); A: (D, N) fp32; Bv, Cv: (B, L, N);
+    Dp: (D,) or 0-size; z: (B, L, D) or 0-size; delta_bias: (D,) or 0-size.
+    Returns (out, carries) with carries (B, nc, D, N) = chunk-start states.
+    """
+    chunk, softplus, has_D, has_z, has_bias = cfg
+    dtype_in = u.dtype
+    batch, L, d_inner = u.shape
+    N = A.shape[1]
+    cl = min(chunk, L)
+    nc = -(-L // cl)
+    L_pad = nc * cl
+
+    uf = _f32(u)
+    dlt = _apply_delta_prep(delta, delta_bias if has_bias else None, softplus)
+    Bvf, Cvf = _f32(Bv), _f32(Cv)
+    if L_pad != L:
+        uf, dlt, Bvf, Cvf = (_pad_chunks(t, L_pad) for t in (uf, dlt, Bvf, Cvf))
+
+    def reshape_c(t):  # (B, L_pad, ...) -> (nc, B, cl, ...)
+        t = t.reshape(batch, nc, cl, *t.shape[2:])
+        return jnp.moveaxis(t, 1, 0)
+
+    u_c, d_c, B_c, C_c = (reshape_c(t) for t in (uf, dlt, Bvf, Cvf))
+
+    def body(x, inp):
+        uc, dc, bc, cc = inp  # (B, cl, D), (B, cl, D), (B, cl, N), (B, cl, N)
+        la = dc[..., None] * A  # (B, cl, D, N)
+        b = (dc * uc)[..., None] * bc[:, :, None, :]
+        xs = _chunk_states(la, b, x)
+        y = jnp.einsum("bldn,bln->bld", xs, cc, preferred_element_type=jnp.float32)
+        return xs[:, -1], (y, x)
+
+    x0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+    _, (ys, carries) = jax.lax.scan(body, x0, (u_c, d_c, B_c, C_c))
+    y = jnp.moveaxis(ys, 0, 1).reshape(batch, L_pad, d_inner)[:, :L]
+
+    out = y if not has_D else y + _f32(u) * _f32(Dp)
+    if has_z:
+        out = out * jax.nn.silu(_f32(z))
+    return out.astype(dtype_in), jnp.moveaxis(carries, 0, 1)  # (B, nc, D, N)
+
+
+def _chunked_fwd(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
+    out, carries = _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias)
+    return out, (u, delta, A, Bv, Cv, Dp, z, delta_bias, carries)
+
+
+def _chunked_bwd(cfg, res, g_out):
+    chunk, softplus, has_D, has_z, has_bias = cfg
+    u, delta, A, Bv, Cv, Dp, z, delta_bias, carries = res
+    batch, L, d_inner = u.shape
+    N = A.shape[1]
+    cl = min(chunk, L)
+    nc = carries.shape[1]
+    L_pad = nc * cl
+
+    uf = _f32(u)
+    # delta pre-activation (for softplus backward) and activated delta
+    dlt_pre = _f32(delta) + (_f32(delta_bias) if has_bias else 0.0)
+    dlt = jax.nn.softplus(dlt_pre) if softplus else dlt_pre
+    Bvf, Cvf = _f32(Bv), _f32(Cv)
+    g = _f32(g_out)
+
+    if has_z:
+        zf = _f32(z)
+        sig = jax.nn.sigmoid(zf)
+        silu_z = zf * sig
+
+    def reshape_c(t):
+        t = _pad_chunks(t, L_pad) if L_pad != L else t
+        t = t.reshape(batch, nc, cl, *t.shape[2:])
+        return jnp.moveaxis(t, 1, 0)
+
+    u_c, d_c, B_c, C_c, g_c = (reshape_c(t) for t in (uf, dlt, Bvf, Cvf, g))
+    if has_z:
+        z_c, sig_c, silu_c = (reshape_c(t) for t in (zf, sig, silu_z))
+    car_c = jnp.moveaxis(carries, 1, 0)  # (nc, B, D, N)
+
+    dA0 = jnp.zeros_like(A)
+    dD0 = jnp.zeros((d_inner,), jnp.float32)
+    gx0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+
+    def body(carry, inp):
+        gx, dA_acc, dD_acc = carry
+        if has_z:
+            uc, dc, bc, cc, gc, x0c, zc, sigc, siluc = inp
+        else:
+            uc, dc, bc, cc, gc, x0c = inp
+
+        # recompute within-chunk states (same recompute-in-backward strategy
+        # as the reference kernel, selective_scan_bwd_kernel.cuh)
+        la = dc[..., None] * A
+        b = (dc * uc)[..., None] * bc[:, :, None, :]
+        xs = _chunk_states(la, b, x0c)
+        y = jnp.einsum("bldn,bln->bld", xs, cc, preferred_element_type=jnp.float32)
+
+        if has_z:
+            out_pre = y + uc * _f32(Dp) if has_D else y
+            dz_c = gc * out_pre * (sigc * (1.0 + zc * (1.0 - sigc)))
+            gyD = gc * siluc
+        else:
+            dz_c = None
+            gyD = gc
+
+        if has_D:
+            dD_acc = dD_acc + jnp.einsum("bld,bld->d", gyD, uc)
+            du_c = gyD * _f32(Dp)
+        else:
+            du_c = jnp.zeros_like(uc)
+
+        dy = gyD  # (B, cl, D)
+        dC_c = jnp.einsum("bld,bldn->bln", dy, xs)
+        dx_local = dy[..., None] * cc[:, :, None, :]  # (B, cl, D, N)
+
+        gs = _chunk_adjoint(la, dx_local, gx)  # (B, cl, D, N)
+
+        # db = gs; dla = gs * a * x_{t-1} = gs * (xs - b)
+        dla = gs * (xs - b)
+        gB = jnp.einsum("bldn,bln->bld", gs, bc)  # sum_n gs * B
+        dd_c = jnp.einsum("bldn,dn->bld", dla, A) + gB * uc
+        du_c = du_c + dc * gB
+        dB_c = jnp.einsum("bldn,bld->bln", gs, dc * uc)
+        dA_acc = dA_acc + jnp.einsum("bldn,bld->dn", dla, dc)
+
+        # carry to the previous chunk: a_{t0} * g_{t0}
+        gx_prev = jnp.exp(la[:, 0]) * gs[:, 0]
+        outs = (du_c, dd_c, dB_c, dC_c, dz_c) if has_z else (du_c, dd_c, dB_c, dC_c)
+        return (gx_prev, dA_acc, dD_acc), outs
+
+    xs_in = (u_c, d_c, B_c, C_c, g_c, car_c)
+    if has_z:
+        xs_in = xs_in + (z_c, sig_c, silu_c)
+    (gx, dA, dD), outs = jax.lax.scan(body, (gx0, dA0, dD0), xs_in, reverse=True)
+
+    def unchunk(t):  # (nc, B, cl, ...) -> (B, L, ...)
+        t = jnp.moveaxis(t, 0, 1).reshape(batch, L_pad, *t.shape[3:])
+        return t[:, :L]
+
+    du, dd, dBv, dCv = (unchunk(t) for t in outs[:4])
+    dz = unchunk(outs[4]).astype(z.dtype) if has_z else None
+
+    # softplus / bias backward
+    if softplus:
+        dd = dd * jax.nn.sigmoid(dlt_pre)
+    ddelta_bias = jnp.einsum("bld->d", dd) if has_bias else None
+
+    return (
+        du.astype(u.dtype),
+        dd.astype(delta.dtype),
+        dA,
+        dBv.astype(Bv.dtype),
+        dCv.astype(Cv.dtype),
+        dD if has_D else jnp.zeros_like(Dp),
+        dz if has_z else jnp.zeros_like(z),
+        ddelta_bias if has_bias else jnp.zeros_like(delta_bias),
+    )
+
+
+_chunked_core.defvjp(_chunked_fwd, _chunked_bwd)
+
+
+def _selective_scan_chunked(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                            return_last_state, chunk):
+    batch, L, d_inner = u.shape
+    if B.ndim != 3 or C.ndim != 3:
+        raise ValueError("chunked backend requires variable B/C of shape (B, L, N)")
+    cfg = (chunk, bool(delta_softplus), D is not None, z is not None,
+           delta_bias is not None)
+    Dp = D if D is not None else jnp.zeros((d_inner,), jnp.float32)
+    zz = z if z is not None else jnp.zeros((0,), u.dtype)
+    db = delta_bias if delta_bias is not None else jnp.zeros((0,), jnp.float32)
+    if return_last_state:
+        out, carries = _chunked_fwd_impl(cfg, u, delta, A, B, C, Dp, zz, db)
+        # final state = scan one more virtual chunk? carries holds chunk
+        # *starts*; recompute last chunk end cheaply via the ref recurrence on
+        # the final chunk.  Simpler and rare (decode prefill only):
+        last = _last_state_from(u, delta, A, B, C, delta_bias, delta_softplus)
+        return out, last
+    return _chunked_core(cfg, u, delta, A, B, C, Dp, zz, db)
+
+
+def _last_state_from(u, delta, A, B, C, delta_bias, delta_softplus):
+    _, last = _selective_scan_assoc(
+        u, delta, A, B, C, None, None, delta_bias, delta_softplus, True
+    )
+    return last
+
+
+# ---------------------------------------------------------------------------
+# public dispatch
+# ---------------------------------------------------------------------------
+
+
+def selective_scan(
+    u,
+    delta,
+    A,
+    B,
+    C,
+    D: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    delta_bias: Optional[jax.Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+    backend: str = "auto",
+    chunk: int = 128,
+):
+    """Selective scan with backend dispatch.  See module docstring.
+
+    backend: "auto" | "chunked" | "assoc" | "ref" | "pallas".
+    "auto" picks chunked for variable (B, L, N)-shaped B/C (the ZigMa hot
+    path) and assoc otherwise.
+    """
+    if backend == "auto":
+        backend = "chunked" if (B.ndim == 3 and C.ndim == 3) else "assoc"
+    if backend == "ref":
+        return selective_scan_ref(u, delta, A, B, C, D, z, delta_bias,
+                                  delta_softplus, return_last_state)
+    if backend == "assoc":
+        return _selective_scan_assoc(u, delta, A, B, C, D, z, delta_bias,
+                                     delta_softplus, return_last_state)
+    if backend == "chunked":
+        return _selective_scan_chunked(u, delta, A, B, C, D, z, delta_bias,
+                                       delta_softplus, return_last_state, chunk)
+    if backend == "pallas":
+        from zigma_tpu.ops.scan_pallas import selective_scan_pallas
+
+        return selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
+                                     delta_softplus, return_last_state)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+# ---------------------------------------------------------------------------
+# single-step decode update
+# ---------------------------------------------------------------------------
+
+
+def selective_state_update(
+    state,
+    x,
+    dt,
+    A,
+    B,
+    C,
+    D: Optional[jax.Array] = None,
+    z: Optional[jax.Array] = None,
+    dt_bias: Optional[jax.Array] = None,
+    dt_softplus: bool = False,
+):
+    """One-timestep SSM update for autoregressive decode.
+
+    Functional equivalent of the reference Triton kernel
+    (dis_mamba/mamba_ssm/ops/triton/selective_state_update.py:21-155) — the
+    state is returned, not mutated.
+
+    state: (batch, D, N) fp32; x, dt: (batch, D); B, C: (batch, N).
+    Returns (y, new_state) with y (batch, D) in x.dtype.
+    """
+    dtf = _f32(dt)
+    if dt_bias is not None:
+        dtf = dtf + _f32(dt_bias)
+    if dt_softplus:
+        dtf = jax.nn.softplus(dtf)
+    dA = jnp.exp(dtf[..., None] * _f32(A))  # (batch, D, N)
+    dBx = (dtf * _f32(x))[..., None] * _f32(B)[:, None, :]
+    new_state = _f32(state) * dA + dBx
+    y = jnp.einsum("bdn,bn->bd", new_state, _f32(C))
+    if D is not None:
+        y = y + _f32(D) * _f32(x)
+    if z is not None:
+        y = y * jax.nn.silu(_f32(z))
+    return y.astype(x.dtype), new_state
+
+
+def selective_scan_flops(batch: int, L: int, d_inner: int, N: int,
+                         with_D: bool = True, with_z: bool = False) -> int:
+    """Analytic FLOP count per scan, matching the reference's fvcore rule
+    (model_zigma.py:1140-1170): 9*B*L*D*N plus skip/gate terms."""
+    flops = 9 * batch * L * d_inner * N
+    if with_D:
+        flops += batch * d_inner * L
+    if with_z:
+        flops += batch * d_inner * L
+    return flops
