@@ -1,0 +1,68 @@
+"""Headline benchmark: 50-step ODE sampling throughput, 256^2 latents.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the BASELINE.json north-star target of 4 images/sec/chip on v5e
+for 50-step ODE sampling of 256^2 latents (4x32x32) with the flagship
+zigzag8_b1_pe2 model (embed_dim=768, depth=24, patch=1, zigzagN8).
+``vs_baseline`` is value / 4.0 (>1 beats the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from zigma_tpu.models import ZigMa
+    from zigma_tpu.transport import Sampler, create_transport
+
+    batch = 16
+    num_steps = 50
+
+    model = ZigMa(
+        in_channels=4, embed_dim=768, depth=24, img_dim=32, patch_size=1,
+        scan_type="zigzagN8", use_pe=2, dtype=jnp.bfloat16,
+    )
+    x0 = jnp.zeros((batch, 4, 32, 32), jnp.float32)
+    t0 = jnp.zeros((batch,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, t0)
+
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    sample_fn = sampler.sample_ode(sampling_method="euler",
+                                   num_steps=num_steps)
+
+    @jax.jit
+    def generate(z):
+        model_fn = lambda x, t: model.apply(params, x, t)
+        return sample_fn(z, model_fn)[-1]
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 32, 32))
+    # warmup / compile
+    generate(z).block_until_ready()
+
+    n_iters = 3
+    start = time.perf_counter()
+    for i in range(n_iters):
+        generate(z).block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    n_chips = max(jax.local_device_count(), 1)
+    imgs_per_sec_per_chip = batch * n_iters / elapsed / n_chips
+    baseline = 4.0  # BASELINE.json north-star target (img/s/chip, v5e)
+    print(json.dumps({
+        "metric": "images/sec/chip, 50-step ODE, 256^2 latents, zigzag8_b1",
+        "value": round(imgs_per_sec_per_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,24 @@
 """Test config: run everything on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax is first imported anywhere.
+The session image boots an `axon` TPU plugin from sitecustomize and forces
+``jax.config.jax_platforms = "axon,cpu"`` — which overrides the
+JAX_PLATFORMS env var.  So we both set the env (for subprocesses) and update
+the jax config directly (for this process), before any backend initializes.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (sitecustomize may have imported it already)
+
+jax.config.update("jax_platforms", "cpu")
 
 # repo root on sys.path so `import zigma_tpu` works without installation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,142 @@
+"""Data-pipeline tests: tar shards written on the fly, then read back.
+
+The reference only has `if True/False` script blocks (wds_dataloader.py:192+);
+these are real round-trip tests.
+"""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from zigma_tpu.data import (
+    WebDataModuleFromConfig,
+    WebDatasetReader,
+    brace_expand,
+    dict_collation_fn,
+    make_image_transform,
+    split_by_host,
+    tar_samples,
+)
+
+
+def _write_shard(path, n, start=0, with_caption=False):
+    with tarfile.open(path, "w") as tf:
+        for i in range(start, start + n):
+            key = f"{i:06d}"
+
+            def add(name, data):
+                info = tarfile.TarInfo(f"{key}.{name}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+            latent = np.random.default_rng(i).normal(
+                size=(4, 8, 8)).astype(np.float32)
+            buf = io.BytesIO()
+            np.save(buf, latent)
+            add("latent.npy", buf.getvalue())
+            add("cls_id.cls", str(i % 10).encode())
+            if with_caption:
+                add("caption.txt", f"caption {i}".encode())
+
+
+class TestPrimitives:
+    def test_brace_expand(self):
+        urls = brace_expand("shard-{00000..00003}.tar")
+        assert urls == [f"shard-{i:05d}.tar" for i in range(4)]
+
+    def test_split_by_host(self):
+        urls = [f"s{i}" for i in range(10)]
+        a = split_by_host(urls, 0, 3)
+        b = split_by_host(urls, 1, 3)
+        c = split_by_host(urls, 2, 3)
+        assert sorted(a + b + c) == sorted(urls)
+        assert not (set(a) & set(b))
+
+    def test_tar_samples_grouping(self, tmp_path):
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 3, with_caption=True)
+        samples = list(tar_samples(shard))
+        assert len(samples) == 3
+        assert {"__key__", "latent.npy", "cls_id.cls", "caption.txt"} <= set(
+            samples[0].keys())
+
+    def test_collation(self):
+        samples = [
+            {"x": np.ones((2, 2)), "y": 1, "s": "a"},
+            {"x": np.zeros((2, 2)), "y": 2, "s": "b"},
+        ]
+        batch = dict_collation_fn(samples)
+        assert batch["x"].shape == (2, 2, 2)
+        assert batch["y"].tolist() == [1, 2]
+        assert batch["s"] == ["a", "b"]
+
+    def test_image_transform(self):
+        img = np.random.rand(16, 16, 3).astype(np.float32)
+        out = make_image_transform(8)(img)
+        assert out.shape == (3, 8, 8)
+        assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+class TestReader:
+    def test_reads_batches(self, tmp_path):
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 10)
+        reader = WebDatasetReader([shard], batch_size=4, repeat=False,
+                                  prefetch=0)
+        batches = list(reader)
+        # partial=False drops the trailing 2 samples
+        assert len(batches) == 2
+        assert batches[0]["latent.npy"].shape == (4, 4, 8, 8)
+        assert batches[0]["cls_id.cls"].shape == (4,)
+
+    def test_rename_and_transform(self, tmp_path):
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 4)
+        reader = WebDatasetReader(
+            [shard], batch_size=2, repeat=False, prefetch=0,
+            transforms={"latent.npy": lambda x: x * 2},
+            rename={"latent": "latent.npy", "cls_id": "cls_id.cls"})
+        batch = next(iter(reader))
+        assert set(batch.keys()) >= {"latent", "cls_id"}
+        ref = np.load(io.BytesIO(_latent_bytes(0)))
+        np.testing.assert_allclose(batch["latent"][0], ref * 2, rtol=1e-6)
+
+    def test_shuffle_and_repeat(self, tmp_path):
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 6)
+        reader = WebDatasetReader([shard], batch_size=6, shuffle=4,
+                                  repeat=True, prefetch=0, seed=1)
+        it = iter(reader)
+        b1, b2 = next(it), next(it)  # needs repeat to get a 2nd full batch
+        assert b1["latent.npy"].shape == (6, 4, 8, 8)
+        assert b2["latent.npy"].shape == (6, 4, 8, 8)
+
+    def test_prefetch_thread(self, tmp_path):
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 8)
+        reader = WebDatasetReader([shard], batch_size=4, repeat=False,
+                                  prefetch=2)
+        assert len(list(reader)) == 2
+
+    def test_module_from_config(self, tmp_path):
+        for i in range(2):
+            _write_shard(str(tmp_path / f"data-{i:05d}.tar"), 4, start=4 * i)
+        dm = WebDataModuleFromConfig(
+            tar_base=str(tmp_path), batch_size=4, image_size=8,
+            multinode=False,
+            train={"shards": "data-{00000..00001}.tar", "shuffle": 0,
+                   "rename": {"latent": "latent.npy", "cls_id": "cls_id.cls"}})
+        loader = dm.train_dataloader()
+        batch = next(iter(loader))
+        assert batch["latent"].shape == (4, 4, 8, 8)
+
+
+def _latent_bytes(i):
+    latent = np.random.default_rng(i).normal(size=(4, 8, 8)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, latent)
+    return buf.getvalue()

@@ -1,0 +1,152 @@
+"""Model-level tests: Mamba mixer and ZigMa forward shapes/dtypes.
+
+Mirrors the reference's module/model smoke checks
+(dis_mamba/test_mamba_module.py, model_zigma.py:1214-1239 __main__) but as a
+real pytest suite, plus permutation-equivariance checks the reference lacks.
+"""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zigma_tpu.models import Mamba, MambaCache, ZigMa
+from zigma_tpu.ops.paths import reverse_permutation, zigzag_path
+
+
+class TestMamba:
+    def _make(self, scan_type="v1", **kw):
+        return Mamba(d_model=64, d_state=16, scan_backend="ref", scan_type=scan_type,
+                     **kw)
+
+    def test_v1_shape(self):
+        m = self._make("v1")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+        params = m.init(jax.random.PRNGKey(1), x)
+        y = m.apply(params, x)
+        assert y.shape == x.shape
+        assert jnp.isfinite(y).all()
+
+    def test_v2_has_backward_branch(self):
+        m = self._make("v2")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+        params = m.init(jax.random.PRNGKey(1), x)
+        assert "scan_b" in params["params"]
+        y = m.apply(params, x)
+        assert y.shape == x.shape
+
+    def test_zigzag_perm_consistency(self):
+        """A permuted scan equals manually permuting in/out of a v1 scan."""
+        N = 4
+        perm = zigzag_path(N)[1]
+        perm_rev = reverse_permutation(perm)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, N * N, 64))
+
+        mz = Mamba(d_model=64, scan_type="zigzagN8", scan_backend="ref",
+                   perm=perm, perm_rev=perm_rev)
+        params = mz.init(jax.random.PRNGKey(1), x)
+        y_z = mz.apply(params, x)
+
+        mv = Mamba(d_model=64, scan_type="v1", scan_backend="ref")
+        x_p = jnp.take(x, jnp.asarray(perm), axis=1)
+        y_v = mv.apply(params, x_p)
+        y_v = jnp.take(y_v, jnp.asarray(perm_rev), axis=1)
+        np.testing.assert_allclose(np.asarray(y_z), np.asarray(y_v), atol=1e-5)
+
+    def test_decode_step_matches_forward(self):
+        """Sequential step() decode reproduces the parallel v1 forward."""
+        m = self._make("v1")
+        B, L, D = 2, 8, 64
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, L, D))
+        params = m.init(jax.random.PRNGKey(1), x)
+        y_par = m.apply(params, x)
+
+        cache = MambaCache.init(B, m.d_inner, m.d_conv, m.d_state)
+        ys = []
+        for i in range(L):
+            y_i, cache = m.apply(params, x[:, i : i + 1], cache, method=Mamba.step)
+            ys.append(y_i)
+        y_seq = jnp.concatenate(ys, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(y_par), np.asarray(y_seq), atol=1e-4, rtol=1e-3)
+
+
+class TestZigMa:
+    def _forward(self, model, x_shape, y=None, key=0):
+        x = jax.random.normal(jax.random.PRNGKey(key), x_shape)
+        t = jax.random.uniform(jax.random.PRNGKey(key + 1), (x_shape[0],))
+        params = model.init(jax.random.PRNGKey(key + 2), x, t, y)
+        return params, model.apply(params, x, t, y)
+
+    def test_image_uncond(self):
+        m = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=1, scan_type="zigzagN8", use_pe=2,
+                  scan_backend="ref")
+        _, y = self._forward(m, (2, 4, 8, 8))
+        assert y.shape == (2, 4, 8, 8)
+        assert jnp.isfinite(y).all()
+
+    def test_image_text(self):
+        m = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=2, has_text=True, d_context=32,
+                  scan_type="zigzagN2", use_pe=2, scan_backend="ref")
+        ctx = jax.random.normal(jax.random.PRNGKey(9), (2, 7, 32))
+        _, out = self._forward(m, (2, 4, 8, 8), y=ctx)
+        assert out.shape == (2, 4, 8, 8)
+
+    def test_image_class_cond(self):
+        m = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=1, num_classes=10, scan_type="v2",
+                  scan_backend="ref")
+        labels = jnp.array([1, 3])
+        _, out = self._forward(m, (2, 4, 8, 8), y=labels)
+        assert out.shape == (2, 4, 8, 8)
+
+    def test_video(self):
+        m = ZigMa(in_channels=4, embed_dim=64, depth=4, img_dim=8,
+                  patch_size=2, scan_type="zzvideo_sst", video_frames=3,
+                  tpe=True, use_pe=2, scan_backend="ref")
+        _, out = self._forward(m, (2, 3, 4, 8, 8))
+        assert out.shape == (2, 3, 4, 8, 8)
+        assert jnp.isfinite(out).all()
+
+    def test_adaln_zero_init_output_is_input_independent_of_blocks(self):
+        """With zero-init adaLN gates, block contributions start at zero, so
+        two models differing only in mixer params give the same output at
+        init... not exactly (mixer params don't matter when gate=0)."""
+        m = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=1, scan_type="v1", scan_backend="ref")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.zeros((2,))
+        params = m.init(jax.random.PRNGKey(1), x, t)
+        out = m.apply(params, x, t)
+        # gate = 0 => residual stream is just the patch embedding; finite
+        assert jnp.isfinite(out).all()
+
+    def test_jit_and_grad(self):
+        m = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=1, scan_type="zigzagN8", use_pe=2)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jax.random.uniform(jax.random.PRNGKey(1), (2,))
+        params = m.init(jax.random.PRNGKey(2), x, t)
+
+        @jax.jit
+        def loss(p):
+            return jnp.mean(m.apply(p, x, t) ** 2)
+
+        g = jax.grad(loss)(params)
+        flat, _ = jax.flatten_util.ravel_pytree(g)
+        assert jnp.isfinite(flat).all()
+
+    def test_use_checkpoint_matches(self):
+        kw = dict(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=1, scan_type="v1", scan_backend="ref")
+        m1 = ZigMa(**kw)
+        m2 = ZigMa(use_checkpoint=True, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jax.random.uniform(jax.random.PRNGKey(1), (2,))
+        params = m1.init(jax.random.PRNGKey(2), x, t)
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(params, x, t)),
+            np.asarray(m2.apply(params, x, t)), atol=1e-6)

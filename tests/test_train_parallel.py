@@ -1,0 +1,145 @@
+"""Training-step + sharding tests on the virtual 8-device CPU mesh.
+
+The reference has zero distributed tests (SURVEY.md §4); these validate the
+pjit data-parallel path and the optional tensor-parallel shardings end to
+end, which is strictly more coverage than the original.
+"""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from zigma_tpu.models import ZigMa
+from zigma_tpu.parallel import make_mesh, replicate, shard_batch, zigma_param_sharding
+from zigma_tpu.train import (
+    TrainState,
+    create_optimizer,
+    create_train_step,
+    latest_checkpoint,
+    make_diffusion_loss_fn,
+    restore_checkpoint,
+    save_checkpoint,
+    update_ema,
+)
+from zigma_tpu.transport import create_transport
+
+
+def _tiny_model():
+    return ZigMa(in_channels=4, embed_dim=32, depth=2, img_dim=8,
+                 patch_size=2, scan_type="zigzagN2", use_pe=2)
+
+
+def _setup(mesh):
+    model = _tiny_model()
+    transport = create_transport("Linear", "velocity")
+    x = jnp.zeros((8, 4, 8, 8))
+    t = jnp.zeros((8,))
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    optimizer = create_optimizer()
+    state = TrainState.create(params, optimizer)
+    state = replicate(state, mesh)
+    loss_fn = make_diffusion_loss_fn(model, transport)
+    step_fn = create_train_step(loss_fn, optimizer)
+    return state, step_fn
+
+
+class TestTrainStep:
+    def test_dp_step_runs_and_improves(self):
+        mesh = make_mesh(data=8, model=1)
+        state, step_fn = _setup(mesh)
+        rng = jax.random.PRNGKey(42)
+        batch = {"x": jax.random.normal(jax.random.PRNGKey(1), (8, 4, 8, 8))}
+        batch = shard_batch(batch, mesh)
+
+        losses = []
+        for i in range(5):
+            rng, k = jax.random.split(rng)
+            state, metrics = step_fn(state, k, batch)
+            losses.append(float(metrics["loss"]))
+        assert int(jax.device_get(state.step)) == 5
+        assert all(np.isfinite(losses))
+        assert np.isfinite(float(jax.device_get(metrics["grad_norm"])))
+
+    def test_dp_matches_single_device(self):
+        """The 8-way sharded step must give the same loss as unsharded."""
+        mesh = make_mesh(data=8, model=1)
+        state, step_fn = _setup(mesh)
+        batch_np = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(1), (8, 4, 8, 8)))
+        rng = jax.random.PRNGKey(7)
+
+        sharded = shard_batch({"x": jnp.asarray(batch_np)}, mesh)
+        _, m_shard = step_fn(state, rng, sharded)
+
+        _, m_local = step_fn(state, rng, {"x": jnp.asarray(batch_np)})
+        np.testing.assert_allclose(
+            float(m_shard["loss"]), float(m_local["loss"]), rtol=1e-5)
+
+    def test_ema_update(self):
+        p = {"w": jnp.ones((3,))}
+        e = {"w": jnp.zeros((3,))}
+        out = update_ema(e, p, decay=0.9)
+        np.testing.assert_allclose(out["w"], 0.1, rtol=1e-6)
+
+
+class TestTensorParallel:
+    def test_tp_sharding_rules_cover_mixer(self):
+        mesh = make_mesh(data=4, model=2)
+        model = _tiny_model()
+        x = jnp.zeros((4, 4, 8, 8))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((4,)))
+        shardings = zigma_param_sharding(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+        tp_sharded = [
+            jax.tree_util.keystr(path) for path, s in flat
+            if s.spec != P()
+        ]
+        assert any("in_proj" in n for n in tp_sharded)
+        assert any("out_proj" in n for n in tp_sharded)
+
+    def test_tp_forward_executes(self):
+        mesh = make_mesh(data=4, model=2)
+        model = _tiny_model()
+        x = jnp.zeros((4, 4, 8, 8))
+        t = jnp.zeros((4,))
+        params = model.init(jax.random.PRNGKey(0), x, t)
+        shardings = zigma_param_sharding(params, mesh)
+        params = jax.tree.map(jax.device_put, params, shardings)
+        x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        def fwd(p, xx, tt):
+            return model.apply(p, xx, tt)
+
+        out = fwd(params, x_sh, t)
+        assert out.shape == x.shape
+        assert jnp.isfinite(out).all()
+
+
+class TestCheckpoints:
+    def test_roundtrip(self):
+        optimizer = create_optimizer()
+        params = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+        state = TrainState.create(params, optimizer)
+        state = state.replace(step=jnp.asarray(123, jnp.int32))
+        with tempfile.TemporaryDirectory() as d:
+            path = save_checkpoint(d, state)
+            assert path.endswith("0000123")
+            assert latest_checkpoint(d) == path
+            restored = restore_checkpoint(path, jax.device_get(state))
+            assert int(restored.step) == 123
+            np.testing.assert_allclose(restored.params["w"], params["w"])
+
+    def test_latest_picks_max_step(self):
+        optimizer = create_optimizer()
+        params = {"w": jnp.ones((2,))}
+        state = TrainState.create(params, optimizer)
+        with tempfile.TemporaryDirectory() as d:
+            save_checkpoint(d, state.replace(step=jnp.asarray(5, jnp.int32)))
+            save_checkpoint(d, state.replace(step=jnp.asarray(50, jnp.int32)))
+            assert latest_checkpoint(d).endswith("0000050")

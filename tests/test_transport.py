@@ -1,0 +1,182 @@
+"""Transport / integrator tests.
+
+The reference has no transport tests; these check the math directly:
+interpolant identities, loss behavior, and integrator convergence on ODEs
+with closed-form solutions.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zigma_tpu.transport import (
+    GVPCPlan,
+    ICPlan,
+    Sampler,
+    VPCPlan,
+    create_transport,
+    odeint_dopri5,
+    odeint_fixed,
+)
+from zigma_tpu.transport.path import expand_t_like_x
+
+
+@pytest.mark.parametrize("plan_cls", [ICPlan, GVPCPlan, VPCPlan])
+class TestPlans:
+    def test_alpha_sigma_derivatives(self, plan_cls):
+        """d_alpha/d_sigma match numerical derivatives."""
+        plan = plan_cls()
+        t = jnp.linspace(0.05, 0.95, 19)
+        eps = 1e-4
+        a, da = plan.compute_alpha_t(t)
+        s, ds = plan.compute_sigma_t(t)
+        a_p = plan.compute_alpha_t(t + eps)[0]
+        a_m = plan.compute_alpha_t(t - eps)[0]
+        s_p = plan.compute_sigma_t(t + eps)[0]
+        s_m = plan.compute_sigma_t(t - eps)[0]
+        np.testing.assert_allclose(da, (a_p - a_m) / (2 * eps), rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(ds, (s_p - s_m) / (2 * eps), rtol=1e-2, atol=1e-3)
+
+    def test_interpolant_endpoints(self, plan_cls):
+        plan = plan_cls()
+        x0 = jnp.ones((2, 3)) * 2.0  # noise
+        x1 = -jnp.ones((2, 3))  # data
+        xt_near0 = plan.compute_xt(jnp.full((2,), 1e-6), x0, x1)
+        xt_near1 = plan.compute_xt(jnp.full((2,), 1 - 1e-6), x0, x1)
+        # VP only reaches its endpoints asymptotically (alpha(0) ~ 6.5e-3)
+        atol = 2e-2 if plan_cls is VPCPlan else 1e-3
+        np.testing.assert_allclose(xt_near0, x0, atol=atol)
+        np.testing.assert_allclose(xt_near1, x1, atol=atol)
+
+    def test_score_velocity_roundtrip(self, plan_cls):
+        """score_from_velocity inverts velocity_from_score."""
+        plan = plan_cls()
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 8))
+        t = jnp.linspace(0.2, 0.8, 4)
+        score = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+        v = plan.get_velocity_from_score(score, x, t)
+        score2 = plan.get_score_from_velocity(v, x, t)
+        np.testing.assert_allclose(score, score2, rtol=1e-4, atol=1e-4)
+
+
+class TestTrainingLoss:
+    def test_velocity_loss_zero_for_perfect_model(self):
+        transport = create_transport("Linear", "velocity")
+        x1 = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 4))
+
+        # the true velocity for the linear path is x1 - x0; recover x0 from xt
+        def perfect_model(xt, t, x1=x1):
+            te = expand_t_like_x(t, xt)
+            x0 = (xt - te * x1) / (1 - te)
+            return x1 - x0
+
+        terms = transport.training_losses(perfect_model, jax.random.PRNGKey(1), x1)
+        assert float(jnp.max(terms["loss"])) < 1e-8
+
+    def test_loss_shapes(self):
+        transport = create_transport("Linear", "velocity")
+        x1 = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 4))
+        model = lambda x, t: x * 0.1
+        terms = transport.training_losses(model, jax.random.PRNGKey(1), x1)
+        assert terms["loss"].shape == (8,)
+
+    @pytest.mark.parametrize("prediction", ["noise", "score"])
+    def test_other_predictions_run(self, prediction):
+        transport = create_transport("Linear", prediction)
+        x1 = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 2, 2))
+        model = lambda x, t: x * 0.1
+        terms = transport.training_losses(model, jax.random.PRNGKey(1), x1)
+        assert jnp.isfinite(terms["loss"]).all()
+
+
+class TestIntegrators:
+    def test_euler_linear_ode(self):
+        """dx/dt = -x has solution x0 * exp(-t)."""
+        drift = lambda x, t: -x
+        x0 = jnp.ones((2, 3))
+        traj = odeint_fixed(drift, x0, 0.0, 1.0, 1001, method="euler")
+        np.testing.assert_allclose(traj[-1], math.exp(-1.0), rtol=1e-2)
+
+    def test_heun_more_accurate_than_euler(self):
+        drift = lambda x, t: -x
+        x0 = jnp.ones((2,))
+        e = odeint_fixed(drift, x0, 0.0, 1.0, 51, method="euler")[-1]
+        h = odeint_fixed(drift, x0, 0.0, 1.0, 51, method="heun")[-1]
+        exact = math.exp(-1.0)
+        assert abs(float(h[0]) - exact) < abs(float(e[0]) - exact)
+
+    def test_dopri5_accuracy(self):
+        drift = lambda x, t: -x
+        x0 = jnp.ones((2, 3))
+        traj = odeint_dopri5(drift, x0, 0.0, 1.0, 11, atol=1e-8, rtol=1e-6)
+        np.testing.assert_allclose(traj[-1], math.exp(-1.0), rtol=1e-5)
+        # intermediate save points too
+        np.testing.assert_allclose(traj[5], math.exp(-0.5), rtol=1e-5)
+
+    def test_dopri5_time_dependent(self):
+        """dx/dt = t => x(1) = x0 + 0.5 (drift gets a (B,) time vector)."""
+        drift = lambda x, t: jnp.ones_like(x) * t[:, None]
+        x0 = jnp.zeros((2, 3))
+        traj = odeint_dopri5(drift, x0, 0.0, 1.0, 5)
+        np.testing.assert_allclose(traj[-1], 0.5, rtol=1e-4, atol=1e-5)
+
+
+class TestSamplers:
+    def _setup(self):
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        # toy "model": velocity field of a pure-contraction flow
+        model = lambda x, t: -0.5 * x
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4))
+        return sampler, model, z
+
+    def test_ode_euler(self):
+        sampler, model, z = self._setup()
+        fn = sampler.sample_ode(sampling_method="euler", num_steps=20)
+        traj = fn(z, model)
+        assert traj.shape == (20, *z.shape)
+        np.testing.assert_allclose(
+            traj[-1], z * math.exp(-0.5), rtol=0.05, atol=1e-3)
+
+    def test_ode_dopri5_jit(self):
+        sampler, model, z = self._setup()
+        sample = sampler.sample_ode(sampling_method="dopri5", num_steps=5)
+        fn = jax.jit(lambda zz: sample(zz, model))
+        traj = fn(z)
+        np.testing.assert_allclose(
+            traj[-1], z * math.exp(-0.5), rtol=1e-3, atol=1e-4)
+
+    def test_sde_shapes(self):
+        sampler, model, z = self._setup()
+        # diffusion_form="sigma" is the reference's shipped SDE config
+        # (config/sde/sde.yaml); SBDM has a 1/t singularity at t0=0 for
+        # velocity models (present in the reference too).
+        fn = sampler.sample_sde(num_steps=8, diffusion_form="sigma",
+                                last_step="Mean", last_step_size=0.04)
+        traj = fn(jax.random.PRNGKey(1), z, model)
+        assert traj.shape == (8, *z.shape)
+        assert jnp.isfinite(traj).all()
+
+    def test_sde_heun_runs(self):
+        sampler, model, z = self._setup()
+        fn = sampler.sample_sde(sampling_method="Heun", num_steps=8,
+                                diffusion_form="sigma",
+                                last_step="Euler", last_step_size=0.04)
+        traj = fn(jax.random.PRNGKey(1), z, model)
+        assert jnp.isfinite(traj).all()
+
+    def test_likelihood_gaussian(self):
+        """For the zero-velocity model the flow is identity, so logp should
+        equal the standard normal prior logp."""
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        model = lambda x, t: jnp.zeros_like(x)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 2, 2))
+        fn = sampler.sample_ode_likelihood(num_steps=5)
+        logp, z = fn(jax.random.PRNGKey(1), x, model)
+        np.testing.assert_allclose(z, x, atol=1e-5)
+        np.testing.assert_allclose(logp, transport.prior_logp(x), rtol=1e-4)

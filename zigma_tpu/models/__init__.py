@@ -1,0 +1,32 @@
+from zigma_tpu.models.embedders import (
+    CaptionEmbedder,
+    LabelEmbedder,
+    PatchEmbed,
+    TimestepEmbedder,
+    get_2d_sincos_pos_embed,
+)
+from zigma_tpu.models.mamba import Mamba, MambaCache
+from zigma_tpu.models.zigma import (
+    ZIGMA_PRESETS,
+    CrossAttention,
+    FinalLayer,
+    ZigMa,
+    ZigMaBlock,
+    zigma_model,
+)
+
+__all__ = [
+    "CaptionEmbedder",
+    "LabelEmbedder",
+    "PatchEmbed",
+    "TimestepEmbedder",
+    "get_2d_sincos_pos_embed",
+    "Mamba",
+    "MambaCache",
+    "ZIGMA_PRESETS",
+    "CrossAttention",
+    "FinalLayer",
+    "ZigMa",
+    "ZigMaBlock",
+    "zigma_model",
+]

@@ -1,0 +1,364 @@
+"""ZigMa denoiser: DiT-style adaLN blocks with Mamba zigzag-scan mixers.
+
+TPU-native rebuild of the reference model (reference: model_zigma.py:544-1137).
+
+Structure per block (model_zigma.py:340-460):
+
+    x, residual = add_norm(x, residual, prenorm)          # fused by XLA
+    shift, scale, gate[, shift_msa, scale_msa, gate_msa] = adaLN(c)
+    x = x + gate * Mamba(modulate(x, shift, scale))
+    x = x + gate_msa * CrossAttn(modulate(LN(x), ...), text)   # if has_text
+
+then a final add-norm + FinalLayer linear -> unpatchify.
+
+Reference quirks intentionally handled differently (SURVEY.md §7.4):
+- ``use_pe=3`` per-layer position tables are real (registered) parameters
+  here; the reference aliases one unregistered tensor across layers
+  (model_zigma.py:644-651).
+- ``parallelN`` forward is implemented (the reference allocates its params
+  but raises NotImplementedError, mamba_simple.py:443-444).
+- ``zzvideo_*`` and ``video_*`` are one consistent factorized-scan path
+  (the reference mixes both names, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zigma_tpu.models.embedders import (
+    LabelEmbedder,
+    PatchEmbed,
+    TimestepEmbedder,
+    get_2d_sincos_pos_embed,
+)
+from zigma_tpu.models.mamba import Mamba
+from zigma_tpu.ops.norms import add_norm, layer_norm
+from zigma_tpu.ops.paths import build_layer_paths, reverse_permutation, zigzag_path
+
+__all__ = ["ZigMa", "ZigMaBlock", "CrossAttention", "FinalLayer", "zigma_model",
+           "ZIGMA_PRESETS"]
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation (model_zigma.py:52-54)."""
+    return x * (1 + scale[:, None]) + shift[:, None]
+
+
+def _torch_linear_init():
+    def init(key, shape, dtype=jnp.float32):
+        bound = shape[0] ** -0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _rescaled_linear_init(n_layer: int):
+    """GPT-2 residual rescale: torch-default uniform / sqrt(n_layer)
+    (model_zigma.py:512-541)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = shape[0] ** -0.5
+        x = jax.random.uniform(key, shape, dtype, -bound, bound)
+        return x / math.sqrt(n_layer)
+
+    return init
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention to text tokens (model_zigma.py:93-136).
+
+    Uses XLA's fused dot-product attention; O(L * 77), never the hot path.
+    """
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        B, L, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, L, self.heads, self.dim_head)
+        k = k.reshape(B, S, self.heads, self.dim_head)
+        v = v.reshape(B, S, self.heads, self.dim_head)
+        o = jax.nn.dot_product_attention(q, k, v)
+        o = o.reshape(B, L, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(o)
+
+
+class FinalLayer(nn.Module):
+    """Final LayerNorm (no affine) + linear to patch pixels
+    (model_zigma.py:313-337).  The optional conditioned variant (cond adaLN,
+    zero-init) is included for capability parity though unused by ZigMa."""
+
+    patch_size: int
+    out_channels: int
+    cond: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c=None):
+        h = layer_norm(x, eps=1e-6)
+        if self.cond and c is not None:
+            mod = nn.Dense(2 * x.shape[-1], dtype=self.dtype,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           name="adaLN")(nn.silu(c))
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            h = modulate(h, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            dtype=self.dtype, kernel_init=_torch_linear_init(), name="linear",
+        )(h)
+
+
+class ZigMaBlock(nn.Module):
+    """adaLN Mamba block with the prenorm-residual contract
+    (model_zigma.py:340-460)."""
+
+    dim: int
+    mixer_cfg: dict
+    has_text: bool = False
+    rms_norm: bool = True
+    norm_epsilon: float = 1e-5
+    residual_in_fp32: bool = True
+    n_layer: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual, c, text=None):
+        norm_w = self.param("norm_weight", nn.initializers.ones, (self.dim,),
+                            jnp.float32)
+        norm_b = (None if self.rms_norm else
+                  self.param("norm_bias", nn.initializers.zeros, (self.dim,),
+                             jnp.float32))
+        x, residual = add_norm(
+            x, norm_w, norm_b, residual,
+            kind="rms" if self.rms_norm else "layer",
+            eps=self.norm_epsilon, prenorm=True,
+            residual_in_fp32=self.residual_in_fp32,
+        )
+
+        n_mod = 6 if self.has_text else 3
+        mod = nn.Dense(n_mod * self.dim, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros,
+                       name="adaLN")(nn.silu(c))
+        parts = jnp.split(mod, n_mod, axis=-1)
+
+        mixer = Mamba(
+            d_model=self.dim, dtype=self.dtype,
+            out_proj_kernel_init=_rescaled_linear_init(self.n_layer),
+            name="mixer", **self.mixer_cfg)
+        x = x + parts[2][:, None] * mixer(modulate(x, parts[0], parts[1]))
+
+        if self.has_text:
+            h = layer_norm(x, eps=1e-6)  # norm_msa: no affine
+            attn = CrossAttention(query_dim=self.dim, context_dim=self.dim,
+                                  dtype=self.dtype, name="msa")
+            x = x + parts[5][:, None] * attn(
+                modulate(h, parts[3], parts[4]), text)
+        return x, residual
+
+
+class ZigMa(nn.Module):
+    """The full denoiser.  Forward signature matches the reference:
+    ``model(x, t, y)`` with x (B, C, H, W) images or (B, T, C, H, W) video
+    latents, t (B,) in [0, 1], y optional labels (B,) / text features
+    (B, n_ctx, d_context)  (model_zigma.py:911-989)."""
+
+    in_channels: int
+    embed_dim: int
+    depth: int
+    img_dim: int
+    patch_size: int = 1
+    has_text: bool = False
+    num_classes: int = -1
+    d_context: int = 0
+    n_context_token: int = 0
+    norm_epsilon: float = 1e-5
+    rms_norm: bool = True
+    residual_in_fp32: bool = True
+    scan_type: str = "v2"
+    video_frames: int = 0
+    tpe: bool = False
+    use_pe: int = 0
+    use_checkpoint: bool = False
+    ssm_cfg: Optional[dict] = None
+    path_seed: int = 0
+    dtype: Any = jnp.float32
+    scan_backend: str = "auto"
+    scan_chunk: int = 128
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_dim // self.patch_size) ** 2
+
+    def _layer_paths(self):
+        patch_side = self.img_dim // self.patch_size
+        return build_layer_paths(
+            self.scan_type, self.depth, patch_side,
+            video_frames=self.video_frames, seed=self.path_seed)
+
+    @nn.compact
+    def __call__(self, x, t, y=None, train: bool = False):
+        B = x.shape[0]
+        h = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
+                       name="x_embedder")(x)
+        _, L, _ = h.shape
+
+        t_emb = TimestepEmbedder(self.embed_dim, dtype=self.dtype,
+                                 name="t_embedder")(
+            (t * 1000.0).astype(jnp.float32))
+        if self.has_text:
+            y_emb = nn.Dense(self.embed_dim, dtype=self.dtype,
+                             name="y_embedder")(y)
+            c = t_emb + jnp.mean(y_emb, axis=1)
+        elif self.num_classes > 0:
+            c = t_emb + LabelEmbedder(self.num_classes, self.embed_dim,
+                                      name="y_embedder")(y, train=train)
+        else:
+            c = t_emb
+
+        n_pe = self.num_patches * max(self.video_frames, 1)
+        if self.use_pe == 1:
+            pe = get_2d_sincos_pos_embed(
+                self.embed_dim, int(self.num_patches ** 0.5))
+            if self.video_frames > 0:
+                pe = np.tile(pe, (self.video_frames, 1))
+            h = h + jnp.asarray(pe, self.dtype)[None]
+        elif self.use_pe == 2:
+            pe = self.param("pos_embed", nn.initializers.zeros,
+                            (1, n_pe, self.embed_dim), jnp.float32)
+            h = h + pe.astype(self.dtype)
+
+        if self.video_frames > 0 and self.tpe:
+            tpe = self.param("temporal_pos_embedding", nn.initializers.zeros,
+                             (1, self.video_frames, self.embed_dim), jnp.float32)
+            h = (h.reshape(B, self.video_frames, -1, self.embed_dim)
+                 + tpe.astype(self.dtype)[:, :, None]).reshape(B, L, self.embed_dim)
+
+        paths, paths_rev, st_order = self._layer_paths()
+        parallel_perms = None
+        if self.scan_type.startswith("parallelN"):
+            patch_side = self.img_dim // self.patch_size
+            base = zigzag_path(patch_side)
+            n = int(self.scan_type[len("parallelN"):])
+            parallel_perms = tuple(
+                (base[i % 8], reverse_permutation(base[i % 8])) for i in range(n))
+
+        block_cls = ZigMaBlock
+        if self.use_checkpoint:
+            block_cls = nn.remat(ZigMaBlock, static_argnums=())
+
+        residual = None
+        for i in range(self.depth):
+            if self.use_pe == 3:
+                pe_i = self.param(f"pos_embed_{i}", nn.initializers.zeros,
+                                  (1, n_pe, self.embed_dim), jnp.float32)
+                h = h + pe_i.astype(self.dtype)
+            mixer_cfg = dict(
+                scan_type=self.scan_type, layer_idx=i,
+                perm=paths[i], perm_rev=paths_rev[i],
+                video_frames=self.video_frames,
+                st=st_order[i] if st_order is not None else None,
+                parallel_perms=parallel_perms,
+                scan_backend=self.scan_backend, scan_chunk=self.scan_chunk,
+                **(self.ssm_cfg or {}))
+            h, residual = block_cls(
+                dim=self.embed_dim, mixer_cfg=mixer_cfg,
+                has_text=self.has_text, rms_norm=self.rms_norm,
+                norm_epsilon=self.norm_epsilon,
+                residual_in_fp32=self.residual_in_fp32,
+                n_layer=self.depth, dtype=self.dtype,
+                name=f"blocks_{i}")(h, residual, c, y_emb if self.has_text else None)
+
+        # final add-norm (prenorm=False) + head (model_zigma.py:963-988)
+        normf_w = self.param("norm_f_weight", nn.initializers.ones,
+                             (self.embed_dim,), jnp.float32)
+        normf_b = (None if self.rms_norm else
+                   self.param("norm_f_bias", nn.initializers.zeros,
+                              (self.embed_dim,), jnp.float32))
+        h = add_norm(h, normf_w, normf_b, residual,
+                     kind="rms" if self.rms_norm else "layer",
+                     eps=self.norm_epsilon, prenorm=False,
+                     residual_in_fp32=self.residual_in_fp32)
+        h = FinalLayer(self.patch_size, self.in_channels, dtype=self.dtype,
+                       name="final_layer")(h)
+        if self.video_frames > 0:
+            return self._unpatchify_video(h)
+        return self._unpatchify(h)
+
+    def _unpatchify(self, x):
+        """(B, L, p*p*C) -> (B, C, H, W)  (model_zigma.py:874-887)."""
+        c, p = self.in_channels, self.patch_size
+        hw = int(x.shape[1] ** 0.5)
+        x = x.reshape(x.shape[0], hw, hw, p, p, c)
+        x = jnp.einsum("nhwpqc->nchpwq", x)
+        return x.reshape(x.shape[0], c, hw * p, hw * p)
+
+    def _unpatchify_video(self, x):
+        """(B, T*L, p*p*C) -> (B, T, C, H, W)  (model_zigma.py:889-902)."""
+        c, p, T = self.in_channels, self.patch_size, self.video_frames
+        hw = int((x.shape[1] // T) ** 0.5)
+        x = x.reshape(x.shape[0], T, hw, hw, p, p, c)
+        x = jnp.einsum("nthwpqc->ntchpwq", x)
+        return x.reshape(x.shape[0], T, c, hw * p, hw * p)
+
+
+# ---------------------------------------------------------------------------
+# Size presets (model_zigma.py:1070-1137)
+# ---------------------------------------------------------------------------
+
+ZIGMA_PRESETS = {
+    "zigma_s_1": dict(patch_size=1, embed_dim=368, depth=24),
+    "zigma_s_2": dict(patch_size=2, embed_dim=368, depth=24),
+    "zigma_s_4": dict(patch_size=4, embed_dim=368, depth=24),
+    "zigma_b_1": dict(patch_size=1, embed_dim=768, depth=24),
+    "zigma_b_2": dict(patch_size=2, embed_dim=768, depth=24),
+    "zigma_b_4": dict(patch_size=4, embed_dim=768, depth=24),
+    "zigma_m_2": dict(patch_size=2, embed_dim=768, depth=48),
+    "zigma_m_4": dict(patch_size=4, embed_dim=768, depth=48),
+    "zigma_l_1": dict(patch_size=1, embed_dim=1024, depth=48),
+    "zigma_l_2": dict(patch_size=2, embed_dim=1024, depth=48),
+    "zigma_l_4": dict(patch_size=4, embed_dim=1024, depth=48),
+    "zigma_h_1": dict(patch_size=1, embed_dim=1536, depth=48),
+    "zigma_h_2": dict(patch_size=2, embed_dim=1536, depth=48),
+    "zigma_h_4": dict(patch_size=4, embed_dim=1536, depth=48),
+}
+
+
+def zigma_model(preset: str, **kwargs) -> ZigMa:
+    """Build a ZigMa from a size preset, e.g. ``zigma_model("zigma_b_1", ...)``."""
+    cfg = dict(ZIGMA_PRESETS[preset])
+    cfg.update(kwargs)
+    return ZigMa(**cfg)
+
+
+def zigma_flops(batch: int, seq: int, embed_dim: int, depth: int,
+                d_state: int = 16, expand: int = 2,
+                bidirectional: bool = False) -> int:
+    """Analytic FLOPs of the Mamba stack: GEMMs + the reference's scan rule
+    9*B*L*D*N (model_zigma.py:1140-1170)."""
+    d_inner = expand * embed_dim
+    dt_rank = math.ceil(embed_dim / 16)
+    ndir = 2 if bidirectional else 1
+    per_layer = 0
+    per_layer += 2 * batch * seq * embed_dim * 2 * d_inner            # in_proj
+    per_layer += ndir * 2 * batch * seq * d_inner * (dt_rank + 2 * d_state)  # x_proj
+    per_layer += ndir * 2 * batch * seq * dt_rank * d_inner           # dt_proj
+    per_layer += ndir * 9 * batch * seq * d_inner * d_state           # scan
+    per_layer += 2 * batch * seq * d_inner * embed_dim                # out_proj
+    return per_layer * depth

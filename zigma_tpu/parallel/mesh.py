@@ -1,0 +1,96 @@
+"""Device-mesh and sharding helpers.
+
+The reference's only parallelism is DDP data-parallel over NCCL via HF
+Accelerate (reference: train_acc.py:121-123,249; README.md:111-131).  The
+TPU-native equivalent is a ``jax.sharding.Mesh`` with the batch sharded over
+the ``data`` axis; XLA inserts the gradient ``psum`` over ICI automatically
+when the jitted train step averages a data-sharded loss.
+
+Beyond parity we expose an optional ``model`` (tensor-parallel) axis: ZigMa's
+hot GEMMs (in_proj / x_proj / dt_proj / out_proj) are Megatron-style
+column/row shardable, and the selective scan / conv are depthwise (d_inner is
+embarrassingly shardable).  ``zigma_param_sharding`` encodes those rules.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "zigma_param_sharding"]
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """Create a ('data', 'model') mesh.  data=-1 uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with the leading axis sharded over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params, opt state) across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel partition rules for ZigMa parameters
+# ---------------------------------------------------------------------------
+
+# (regex over '/'-joined param path, PartitionSpec factory by ndim)
+# Megatron pairing: in_proj/x_proj/dt-kernel column-parallel (shard d_inner /
+# the output dim), out_proj row-parallel (shard the input dim) => one psum
+# per mixer, inserted automatically by XLA from these shardings.
+_TP_RULES = [
+    (r".*in_proj/kernel$", P(None, "model")),
+    (r".*x_proj_kernel$", P("model", None)),
+    (r".*dt_proj_kernel$", P(None, "model")),
+    (r".*dt_proj_bias$", P("model")),
+    (r".*conv1d_weight$", P("model", None)),
+    (r".*conv1d_bias$", P("model")),
+    (r".*A_log$", P("model", None)),
+    (r".*/D$", P("model")),
+    (r".*out_proj/kernel$", P("model", None)),
+    # cross-attention heads over model axis
+    (r".*to_[qkv]/kernel$", P(None, "model")),
+    (r".*to_out/kernel$", P("model", None)),
+]
+
+
+def zigma_param_sharding(params, mesh: Mesh):
+    """NamedShardings for a ZigMa param tree: TP rules above, replicated
+    otherwise.  With mesh model=1 everything degenerates to replication
+    (pure DP = reference parity)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def spec_for(path):
+        name = "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path)
+        if mesh.shape.get("model", 1) > 1:
+            for pattern, spec in _TP_RULES:
+                if re.match(pattern, name):
+                    return spec
+        return P()
+
+    specs = {jax.tree_util.keystr(path): spec_for(path) for path, _ in flat}
+
+    def map_fn(path, x):
+        return NamedSharding(mesh, specs[jax.tree_util.keystr(path)])
+
+    return jax.tree_util.tree_map_with_path(map_fn, params)

@@ -1,0 +1,68 @@
+"""Orbax checkpointing with the reference's logical checkpoint layout.
+
+The reference saves a single torch dict
+``{model, ema, opt, args, train_steps, best_fid}`` every ``ckpt_every``
+steps, rank-0 only, named ``{step:07d}.pt``, and resumes from the latest by
+mtime (reference: train_acc.py:492-505, utils/train_utils.py:136-149).
+
+Here: orbax ``StandardCheckpointer`` with the same logical content, saved as
+``{ckpt_dir}/{step:07d}``; ``latest_checkpoint`` picks the largest step
+number (deterministic, unlike mtime).  Multi-host safe: orbax coordinates
+across ``jax.process_index()`` internally.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint"]
+
+_STEP_RE = re.compile(r"^(\d{7,})$")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state, extra: Optional[dict] = None):
+    """Save {state, extra} at ``ckpt_dir/{step:07d}``."""
+    step = int(jax.device_get(state.step))
+    path = os.path.join(os.path.abspath(ckpt_dir), f"{step:07d}")
+    ckptr = _checkpointer()
+    payload = {"state": jax.device_get(state)}
+    if extra:
+        payload["extra"] = extra
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Largest-step checkpoint path, or None
+    (vs. the reference's mtime-based get_latest_checkpoint,
+    utils/train_utils.py:136-149)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if _STEP_RE.match(d)]
+    if not steps:
+        return None
+    return os.path.join(os.path.abspath(ckpt_dir), max(steps, key=int))
+
+
+def restore_checkpoint(path: str, target_state, extra_target: Optional[dict] = None):
+    """Restore into the given abstract/concrete state pytree."""
+    ckptr = _checkpointer()
+    payload = {"state": target_state}
+    if extra_target is not None:
+        payload["extra"] = extra_target
+    restored = ckptr.restore(path, payload)
+    if extra_target is not None:
+        return restored["state"], restored["extra"]
+    return restored["state"]

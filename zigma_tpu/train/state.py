@@ -1,0 +1,122 @@
+"""Train state, EMA, and the pjit-sharded training step.
+
+TPU-native rebuild of the reference training loop internals
+(reference: train_acc.py:210-505, utils/train_utils.py:103-133).
+
+- EMA decay 0.9999 as a pure tree update (utils/train_utils.py:103-113).
+- AdamW lr 1e-4, wd 0 (train_acc.py:213, config/optim/default.yaml).
+- Gradient clipping at 2.0 — applied BEFORE the optimizer step via optax
+  chaining.  The reference clips *after* ``opt.step()`` (train_acc.py:445-447),
+  which is a no-op on the applied update; documented quirk we fix
+  (SURVEY.md §7.4).
+- The whole step (loss -> grads -> psum over the data axis -> update -> EMA)
+  is a single jitted function; XLA inserts the gradient all-reduce from the
+  output shardings, replacing DDP bucket all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["TrainState", "create_optimizer", "create_train_step", "update_ema"]
+
+LATENT_SCALE = 0.18215  # SD VAE latent scaling (train_acc.py:432-435)
+
+
+class TrainState(struct.PyTreeNode):
+    """Logical equivalent of the reference checkpoint dict
+    {model, ema, opt, train_steps, best_fid} (train_acc.py:492-505)."""
+
+    step: jax.Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    best_fid: jax.Array
+
+    @classmethod
+    def create(cls, params, optimizer):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=jax.tree.map(lambda x: x, params),
+            opt_state=optimizer.init(params),
+            best_fid=jnp.asarray(float("inf"), jnp.float32),
+        )
+
+
+def create_optimizer(lr: float = 1e-4, weight_decay: float = 0.0,
+                     grad_clip: float = 2.0,
+                     b1: float = 0.9, b2: float = 0.999) -> optax.GradientTransformation:
+    """AdamW(1e-4, wd=0) + global-norm clip 2.0 (train_acc.py:213,445-447)."""
+    chain = []
+    if grad_clip and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay))
+    return optax.chain(*chain)
+
+
+def update_ema(ema_params, params, decay: float = 0.9999):
+    """EMA tree update (utils/train_utils.py:103-113)."""
+    return jax.tree.map(lambda e, p: e * decay + (1.0 - decay) * p,
+                        ema_params, params)
+
+
+def create_train_step(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.9999,
+    donate: Optional[bool] = None,
+):
+    """Build the jitted train step.
+
+    loss_fn(params, rng, batch) -> scalar loss.  ``batch`` is whatever the
+    data pipeline yields (typically {'x': latents, 'y': cond}); sharding is
+    decided by the arrays' placements (shard_batch for DP).
+    Returns step_fn(state, rng, batch) -> (state, metrics).
+
+    ``donate`` defaults to True on accelerators (state buffers are reused
+    in-place, halving peak param memory) but False on the CPU backend:
+    XLA:CPU's in-process collectives deadlock when donation is combined
+    with >1 virtual device on few host cores (observed on the 8-device
+    fake mesh; grads-only and non-donating steps run fine).
+    """
+    if donate is None:
+        donate = jax.default_backend() != "cpu"
+
+    def step_fn(state: TrainState, rng, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = update_ema(state.ema_params, params, ema_decay)
+        gnorm = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, ema_params=ema_params,
+            opt_state=opt_state)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_diffusion_loss_fn(model, transport, train: bool = True,
+                           latent_scale: Optional[float] = None):
+    """Standard ZigMa loss closure: scale latents, flow-matching MSE
+    (train_acc.py:426-447)."""
+
+    def loss_fn(params, rng, batch):
+        x = batch["x"]
+        if latent_scale is not None:
+            x = x * latent_scale
+        y = batch.get("y")
+        model_fn = lambda xt, t, **kw: model.apply(params, xt, t, y, train=train)
+        terms = transport.training_losses(model_fn, rng, x)
+        return jnp.mean(terms["loss"])
+
+    return loss_fn

@@ -1,0 +1,336 @@
+"""Flow-matching transport: training losses and ODE/SDE/likelihood samplers.
+
+TPU-native port of the reference Transport/Sampler
+(reference: transport/transport.py:13-478).  Functional-RNG JAX style: every
+stochastic entry point takes an explicit PRNG key; samplers return jittable
+closures whose whole denoise loop is a ``lax.scan``/``while_loop``.
+
+Model interface everywhere: ``model_fn(x, t, **model_kwargs)`` with x
+(B, ...), t (B,) in [0, 1] — same as the reference's ``model(x, t, **kw)``.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from zigma_tpu.transport import path as path_mod
+from zigma_tpu.transport.integrators import odeint_dopri5, odeint_fixed, sdeint
+from zigma_tpu.transport.path import expand_t_like_x
+
+__all__ = ["ModelType", "PathType", "WeightType", "Transport", "Sampler",
+           "create_transport", "mean_flat"]
+
+
+class ModelType(enum.Enum):
+    NOISE = enum.auto()
+    SCORE = enum.auto()
+    VELOCITY = enum.auto()
+
+
+class PathType(enum.Enum):
+    LINEAR = enum.auto()
+    GVP = enum.auto()
+    VP = enum.auto()
+
+
+class WeightType(enum.Enum):
+    NONE = enum.auto()
+    VELOCITY = enum.auto()
+    LIKELIHOOD = enum.auto()
+
+
+def mean_flat(x):
+    """Mean over all non-batch dims (reference: transport/utils.py:14-18)."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+class Transport:
+    """Interpolant + loss + drift/score wrappers (transport/transport.py:43-233)."""
+
+    def __init__(self, *, model_type: ModelType, path_type: PathType,
+                 loss_type: WeightType, train_eps: float, sample_eps: float):
+        path_options = {
+            PathType.LINEAR: path_mod.ICPlan,
+            PathType.GVP: path_mod.GVPCPlan,
+            PathType.VP: path_mod.VPCPlan,
+        }
+        self.model_type = model_type
+        self.path_type = path_type
+        self.loss_type = loss_type
+        self.path_sampler = path_options[path_type]()
+        self.train_eps = train_eps
+        self.sample_eps = sample_eps
+
+    # -- time-interval bookkeeping (transport/transport.py:79-112) ---------
+
+    def check_interval(self, train_eps, sample_eps, *, diffusion_form="SBDM",
+                       sde=False, reverse=False, eval=False,
+                       last_step_size=0.0):
+        t0, t1 = 0.0, 1.0
+        eps = train_eps if not eval else sample_eps
+        if isinstance(self.path_sampler, path_mod.VPCPlan):
+            t1 = 1 - eps if (not sde or last_step_size == 0) else 1 - last_step_size
+        elif (isinstance(self.path_sampler, (path_mod.ICPlan, path_mod.GVPCPlan))
+              and (self.model_type != ModelType.VELOCITY or sde)):
+            t0 = (eps if (diffusion_form == "SBDM" and sde)
+                  or self.model_type != ModelType.VELOCITY else 0)
+            t1 = 1 - eps if (not sde or last_step_size == 0) else 1 - last_step_size
+        if reverse:
+            t0, t1 = 1 - t0, 1 - t1
+        return t0, t1
+
+    # -- training ----------------------------------------------------------
+
+    def sample(self, rng, x1):
+        """Draw (t, x0, x1) for a batch (transport/transport.py:114-124)."""
+        k_noise, k_t = jax.random.split(rng)
+        x0 = jax.random.normal(k_noise, x1.shape, x1.dtype)
+        t0, t1 = self.check_interval(self.train_eps, self.sample_eps)
+        t = jax.random.uniform(k_t, (x1.shape[0],), jnp.float32) * (t1 - t0) + t0
+        return t, x0, x1
+
+    def training_losses(self, model_fn: Callable, rng, x1, model_kwargs=None):
+        """Velocity/noise/score flow-matching loss
+        (transport/transport.py:126-173).  Returns dict with 'loss' (B,) and
+        'pred'."""
+        model_kwargs = model_kwargs or {}
+        t, x0, x1 = self.sample(rng, x1)
+        t, xt, ut = self.path_sampler.plan(t, x0, x1)
+        model_output = model_fn(xt, t, **model_kwargs)
+
+        terms = {"pred": model_output}
+        if self.model_type == ModelType.VELOCITY:
+            terms["loss"] = mean_flat((model_output - ut) ** 2)
+        else:
+            _, drift_var = self.path_sampler.compute_drift(xt, t)
+            sigma_t, _ = self.path_sampler.compute_sigma_t(expand_t_like_x(t, xt))
+            if self.loss_type == WeightType.VELOCITY:
+                weight = (drift_var / sigma_t) ** 2
+            elif self.loss_type == WeightType.LIKELIHOOD:
+                weight = drift_var / (sigma_t**2)
+            else:
+                weight = 1.0
+            if self.model_type == ModelType.NOISE:
+                terms["loss"] = mean_flat(weight * (model_output - x0) ** 2)
+            elif self.model_type == ModelType.SCORE:
+                terms["loss"] = mean_flat(
+                    weight * (model_output * sigma_t + x0) ** 2)
+            else:
+                raise NotImplementedError(self.model_type)
+        return terms
+
+    # -- drift / score wrappers (transport/transport.py:175-233) -----------
+
+    def get_drift(self):
+        def score_ode(x, t, model_fn, **kw):
+            drift_mean, drift_var = self.path_sampler.compute_drift(x, t)
+            return -drift_mean + drift_var * model_fn(x, t, **kw)
+
+        def noise_ode(x, t, model_fn, **kw):
+            drift_mean, drift_var = self.path_sampler.compute_drift(x, t)
+            sigma_t, _ = self.path_sampler.compute_sigma_t(expand_t_like_x(t, x))
+            score = model_fn(x, t, **kw) / -sigma_t
+            return -drift_mean + drift_var * score
+
+        def velocity_ode(x, t, model_fn, **kw):
+            return model_fn(x, t, **kw)
+
+        return {
+            ModelType.NOISE: noise_ode,
+            ModelType.SCORE: score_ode,
+            ModelType.VELOCITY: velocity_ode,
+        }[self.model_type]
+
+    def get_score(self):
+        if self.model_type == ModelType.NOISE:
+            return lambda x, t, model_fn, **kw: model_fn(x, t, **kw) / -(
+                self.path_sampler.compute_sigma_t(expand_t_like_x(t, x))[0])
+        if self.model_type == ModelType.SCORE:
+            return lambda x, t, model_fn, **kw: model_fn(x, t, **kw)
+        if self.model_type == ModelType.VELOCITY:
+            return lambda x, t, model_fn, **kw: (
+                self.path_sampler.get_score_from_velocity(
+                    model_fn(x, t, **kw), x, t))
+        raise NotImplementedError(self.model_type)
+
+    def prior_logp(self, z):
+        """log N(z; 0, I) per batch element (transport/transport.py:70-77)."""
+        N = math.prod(z.shape[1:])
+        return (-N / 2.0 * math.log(2 * math.pi)
+                - jnp.sum(z.reshape(z.shape[0], -1) ** 2, axis=-1) / 2.0)
+
+
+class Sampler:
+    """ODE / SDE / likelihood samplers (transport/transport.py:236-478)."""
+
+    def __init__(self, transport: Transport):
+        self.transport = transport
+        self.drift = transport.get_drift()
+        self.score = transport.get_score()
+
+    # -- ODE ----------------------------------------------------------------
+
+    def sample_ode(self, *, sampling_method="dopri5", num_steps=50,
+                   atol=1e-6, rtol=1e-3, reverse=False):
+        """Returns sample_fn(z, model_fn, **model_kwargs) -> trajectory
+        (num_steps, B, ...); trajectory[-1] is the sample
+        (transport/transport.py:372-417)."""
+        if reverse:
+            base_drift = lambda x, t, model_fn, **kw: self.drift(
+                x, jnp.ones_like(t) * (1 - t), model_fn, **kw)
+        else:
+            base_drift = self.drift
+
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps, self.transport.sample_eps,
+            sde=False, eval=True, reverse=reverse, last_step_size=0.0)
+
+        def sample_fn(z, model_fn, **model_kwargs):
+            drift = lambda x, t: base_drift(x, t, model_fn, **model_kwargs)
+            if sampling_method in ("euler", "Euler", "heun", "Heun"):
+                return odeint_fixed(drift, z, t0, t1, num_steps,
+                                    method=sampling_method.lower())
+            if sampling_method == "dopri5":
+                return odeint_dopri5(drift, z, t0, t1, num_steps,
+                                     atol=atol, rtol=rtol)
+            raise NotImplementedError(sampling_method)
+
+        return sample_fn
+
+    # -- SDE ----------------------------------------------------------------
+
+    def _sde_drift_and_diffusion(self, diffusion_form, diffusion_norm):
+        def diffusion_fn(x, t):
+            return self.transport.path_sampler.compute_diffusion(
+                x, t, form=diffusion_form, norm=diffusion_norm)
+
+        def sde_drift(x, t, model_fn, **kw):
+            return (self.drift(x, t, model_fn, **kw)
+                    + diffusion_fn(x, t) * self.score(x, t, model_fn, **kw))
+
+        return sde_drift, diffusion_fn
+
+    def _last_step_fn(self, sde_drift, last_step, last_step_size):
+        """(transport/transport.py:284-307)"""
+        ps = self.transport.path_sampler
+        if last_step is None:
+            return lambda x, t, model_fn, **kw: x
+        if last_step == "Mean":
+            return lambda x, t, model_fn, **kw: (
+                x + sde_drift(x, t, model_fn, **kw) * last_step_size)
+        if last_step == "Tweedie":
+            def tweedie(x, t, model_fn, **kw):
+                a = ps.compute_alpha_t(t[0])[0]
+                s = ps.compute_sigma_t(t[0])[0]
+                return x / a + (s**2) / a * self.score(x, t, model_fn, **kw)
+            return tweedie
+        if last_step == "Euler":
+            return lambda x, t, model_fn, **kw: (
+                x + self.drift(x, t, model_fn, **kw) * last_step_size)
+        raise NotImplementedError(last_step)
+
+    def sample_sde(self, *, sampling_method="Euler", diffusion_form="SBDM",
+                   diffusion_norm=1.0, last_step="Mean", last_step_size=0.04,
+                   num_steps=250):
+        """Returns sample_fn(rng, z, model_fn, **kw) -> trajectory
+        (num_steps, B, ...) — num_steps-1 SDE steps + the configured last
+        step, matching the reference count (transport/transport.py:309-370)."""
+        if last_step is None:
+            last_step_size = 0.0
+
+        sde_drift, sde_diffusion = self._sde_drift_and_diffusion(
+            diffusion_form, diffusion_norm)
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps, self.transport.sample_eps,
+            diffusion_form=diffusion_form, sde=True, eval=True,
+            reverse=False, last_step_size=last_step_size)
+        last_fn = self._last_step_fn(sde_drift, last_step, last_step_size)
+
+        def sample_fn(rng, z, model_fn, **model_kwargs):
+            drift = lambda x, t: sde_drift(x, t, model_fn, **model_kwargs)
+            traj = sdeint(drift, sde_diffusion, rng, z, t0, t1, num_steps,
+                          method=sampling_method)
+            ts = jnp.full((z.shape[0],), t1, jnp.float32)
+            x_last = last_fn(traj[-1], ts, model_fn, **model_kwargs)
+            return jnp.concatenate([traj, x_last[None]], axis=0)
+
+        return sample_fn
+
+    # -- likelihood ----------------------------------------------------------
+
+    def sample_ode_likelihood(self, *, sampling_method="dopri5", num_steps=50,
+                              atol=1e-6, rtol=1e-3):
+        """Returns fn(rng, x, model_fn, **kw) -> (logp (B,), z (B, ...)).
+
+        Hutchinson trace estimate with Rademacher probes via ``jax.vjp``
+        (the reference uses torch.autograd.grad with the same probe,
+        transport/transport.py:419-478)."""
+        t0, t1 = self.transport.check_interval(
+            self.transport.train_eps, self.transport.sample_eps,
+            sde=False, eval=True, reverse=False, last_step_size=0.0)
+
+        def sample_fn(rng, x, model_fn, **model_kwargs):
+            eps = (jax.random.randint(rng, x.shape, 0, 2).astype(x.dtype) * 2 - 1)
+
+            def likelihood_drift(state, t):
+                xi, _ = state
+                t_rev = jnp.ones_like(t) * (1 - t)
+                f = lambda xx: self.drift(xx, t_rev, model_fn, **model_kwargs)
+                drift, vjp_fn = jax.vjp(f, xi)
+                (grad,) = vjp_fn(eps)
+                logp_grad = jnp.sum(
+                    (grad * eps).reshape(xi.shape[0], -1), axis=-1)
+                return (-drift, logp_grad)
+
+            init_logp = jnp.zeros((x.shape[0],), x.dtype)
+            if sampling_method == "dopri5":
+                traj = odeint_dopri5(likelihood_drift, (x, init_logp),
+                                     t0, t1, num_steps, atol=atol, rtol=rtol)
+            else:
+                traj = odeint_fixed(likelihood_drift, (x, init_logp),
+                                    t0, t1, num_steps,
+                                    method=sampling_method.lower())
+            z, delta_logp = traj[0][-1], traj[1][-1]
+            prior_logp = self.transport.prior_logp(z)
+            return prior_logp - delta_logp, z
+
+        return sample_fn
+
+
+def create_transport(path_type="Linear", prediction="velocity",
+                     loss_weight=None, train_eps=None, sample_eps=None):
+    """Factory with the reference's default-eps rules
+    (transport/__init__.py:4-75, including the quirk that sample_eps
+    defaults are gated on ``train_eps is None``)."""
+    model_type = {
+        "noise": ModelType.NOISE,
+        "score": ModelType.SCORE,
+        "velocity": ModelType.VELOCITY,
+    }[prediction]
+    loss_type = {
+        "velocity": WeightType.VELOCITY,
+        "likelihood": WeightType.LIKELIHOOD,
+        None: WeightType.NONE,
+    }[loss_weight]
+    ptype = {"Linear": PathType.LINEAR, "GVP": PathType.GVP,
+             "VP": PathType.VP}[path_type]
+
+    if ptype == PathType.VP:
+        train_eps = 1e-5 if train_eps is None else train_eps
+        sample_eps = 1e-3 if sample_eps is None else sample_eps
+    elif (ptype in (PathType.GVP, PathType.LINEAR)
+          and model_type != ModelType.VELOCITY):
+        train_eps = 1e-3 if train_eps is None else train_eps
+        sample_eps = 1e-3 if sample_eps is None else sample_eps
+    else:  # velocity & [GVP, LINEAR] is stable everywhere
+        train_eps = 0
+        sample_eps = 0
+
+    return Transport(model_type=model_type, path_type=ptype,
+                     loss_type=loss_type, train_eps=train_eps,
+                     sample_eps=sample_eps)
