@@ -1,0 +1,86 @@
+"""Pallas selective-scan kernel parity vs the sequential golden model.
+
+Runs in interpret mode on CPU (the kernel compiles natively on TPU).
+Tolerances follow the reference kernel tests
+(dis_mamba/tests/ops/test_selective_scan.py:45-47).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zigma_tpu.ops.selective_scan import selective_scan_ref
+from zigma_tpu.ops.scan_pallas import selective_scan_pallas
+
+
+def _make_inputs(key, batch=2, L=256, D=128, N=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    u = jax.random.normal(ks[0], (batch, L, D), dtype)
+    delta = jax.random.normal(ks[1], (batch, L, D), dtype) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
+    B = jax.random.normal(ks[3], (batch, L, N), dtype)
+    C = jax.random.normal(ks[4], (batch, L, N), dtype)
+    Dskip = jax.random.normal(ks[5], (D,))
+    return u, delta, A, B, C, Dskip
+
+
+@pytest.mark.parametrize("L", [128, 256, 512])
+def test_fwd_parity(L):
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(0), L=L)
+    bias = jnp.full((u.shape[-1],), 0.1, jnp.float32)
+    y_ref = selective_scan_ref(u, delta, A, B, C, Dskip, z=None,
+                               delta_bias=bias, delta_softplus=True)
+    y_pal = selective_scan_pallas(u, delta, A, B, C, Dskip, z=None,
+                                  delta_bias=bias, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-3, atol=6e-4)
+
+
+def test_fwd_parity_with_gate():
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(1))
+    z = jax.random.normal(jax.random.PRNGKey(2), u.shape)
+    y_ref = selective_scan_ref(u, delta, A, B, C, Dskip, z=z,
+                               delta_softplus=True)
+    y_pal = selective_scan_pallas(u, delta, A, B, C, Dskip, z=z,
+                                  delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-3, atol=6e-4)
+
+
+def test_fwd_parity_bf16():
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(3),
+                                            dtype=jnp.bfloat16)
+    y_ref = selective_scan_ref(u, delta, A, B, C, Dskip, delta_softplus=True)
+    y_pal = selective_scan_pallas(u, delta, A, B, C, Dskip,
+                                  delta_softplus=True)
+    np.testing.assert_allclose(
+        np.asarray(y_pal, np.float32), np.asarray(y_ref, np.float32),
+        rtol=3e-2, atol=5e-2)
+
+
+def test_grad_matches_ref():
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(4),
+                                            batch=1, L=128, D=128)
+    bias = jnp.full((u.shape[-1],), 0.05, jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(5), u.shape)
+
+    def loss_pal(u, delta, A, B, C, Dskip, z):
+        y = selective_scan_pallas(u, delta, A, B, C, Dskip, z=z,
+                                  delta_bias=bias, delta_softplus=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    def loss_ref(u, delta, A, B, C, Dskip, z):
+        y = selective_scan_ref(u, delta, A, B, C, Dskip, z=z,
+                               delta_bias=bias, delta_softplus=True)
+        return jnp.sum(y * jnp.cos(y))
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        u, delta, A, B, C, Dskip, z)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        u, delta, A, B, C, Dskip, z)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz"]
+    for n, gp, gr in zip(names, g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=2e-3, atol=2e-3,
+            err_msg=f"grad mismatch: {n}")

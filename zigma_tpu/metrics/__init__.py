@@ -1,0 +1,27 @@
+from zigma_tpu.metrics.frechet import RunningMoments, frechet_distance
+from zigma_tpu.metrics.distributional import inception_score, kid, prdc
+from zigma_tpu.metrics.pixel import psnr, ssim, video_metric_per_timestep
+from zigma_tpu.metrics.features import (
+    available_extractors,
+    get_extractor,
+    patch_statistics_extractor,
+    register_extractor,
+)
+from zigma_tpu.metrics.facade import MyMetric, VideoMetric
+
+__all__ = [
+    "RunningMoments",
+    "frechet_distance",
+    "inception_score",
+    "kid",
+    "prdc",
+    "psnr",
+    "ssim",
+    "video_metric_per_timestep",
+    "available_extractors",
+    "get_extractor",
+    "patch_statistics_extractor",
+    "register_extractor",
+    "MyMetric",
+    "VideoMetric",
+]

@@ -1,0 +1,115 @@
+"""Pluggable feature extractors for the Fréchet/KID/PRDC metrics.
+
+The reference depends on downloaded pretrained networks: InceptionV3
+(torch-fidelity weights) for FID/sFID/KID/IS, DINOv2 ViT via torch.hub for
+FDD, the StyleGAN-V I3D TorchScript model for FVD, and AlexNet/VGG LPIPS
+(reference: utils/torchmetric_fdd.py:82-91, utils/torchmetric_fvd.py:169-186,
+my_metrics.py:13-115).
+
+This rebuild keeps the metric *math* exact and makes the feature network a
+plug-in, because pretrained weights may not be present (and this build
+environment has zero egress).  Resolution order:
+
+1. An extractor callable you register/pass explicitly.
+2. Known local weight caches (torch hub / torch-fidelity / HF hub) loaded
+   through torch (CPU) — bit-compatible with the reference's features.
+3. Otherwise ``get_extractor`` raises with a clear message — FID computed
+   with a *different* feature net is not comparable to published numbers,
+   so silently substituting one would be worse than failing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+__all__ = ["register_extractor", "get_extractor", "available_extractors",
+           "patch_statistics_extractor"]
+
+_REGISTRY: dict = {}
+
+
+def register_extractor(name: str, fn: Callable[[np.ndarray], np.ndarray]):
+    """Register a feature extractor: (B, C, H, W) uint8/float -> (B, F)."""
+    _REGISTRY[name] = fn
+
+
+def available_extractors():
+    return sorted(_REGISTRY)
+
+
+def patch_statistics_extractor(patch: int = 8):
+    """Weight-free fallback features (mean/std over a patch grid).
+
+    NOT comparable to Inception features — intended only for smoke tests
+    and relative tracking during training when no pretrained weights exist.
+    """
+
+    def extract(imgs: np.ndarray) -> np.ndarray:
+        x = np.asarray(imgs, np.float64)
+        if x.ndim == 3:
+            x = x[None]
+        B, C, H, W = x.shape
+        ph, pw = H // patch, W // patch
+        x = x[:, :, : ph * patch, : pw * patch]
+        x = x.reshape(B, C, ph, patch, pw, patch)
+        mean = x.mean(axis=(3, 5)).reshape(B, -1)
+        std = x.std(axis=(3, 5)).reshape(B, -1)
+        return np.concatenate([mean, std], axis=1)
+
+    return extract
+
+
+def _try_torch_inception() -> Optional[Callable]:
+    """InceptionV3 (pool3, 2048-d) from a local torch-fidelity or
+    torchvision cache, run on CPU torch.  Returns None if weights are not
+    cached locally (zero-egress environments)."""
+    try:
+        import torch
+
+        hub_dir = torch.hub.get_dir()
+        candidates = []
+        if os.path.isdir(hub_dir):
+            for root, _, files in os.walk(hub_dir):
+                candidates += [os.path.join(root, f) for f in files
+                               if "inception" in f.lower() and f.endswith(".pth")]
+        if not candidates:
+            return None
+        # torchvision's InceptionV3 definition is not bundled; without
+        # torchvision we can only use TorchScript archives
+        scripted = [c for c in candidates if c.endswith((".pt", ".pts"))]
+        if not scripted:
+            return None
+        net = torch.jit.load(scripted[0]).eval()
+
+        def extract(imgs: np.ndarray) -> np.ndarray:
+            with torch.no_grad():
+                t = torch.from_numpy(np.asarray(imgs)).float()
+                return net(t).numpy()
+
+        return extract
+    except Exception:
+        return None
+
+
+def get_extractor(name: str = "inception") -> Callable:
+    """Resolve a named extractor; see module docstring for the order."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    if name == "patch_stats":
+        fn = patch_statistics_extractor()
+        _REGISTRY[name] = fn
+        return fn
+    if name == "inception":
+        fn = _try_torch_inception()
+        if fn is not None:
+            _REGISTRY[name] = fn
+            return fn
+    raise RuntimeError(
+        f"feature extractor {name!r} is unavailable: no registered callable "
+        f"and no local pretrained weights found. Register one with "
+        f"zigma_tpu.metrics.register_extractor({name!r}, fn) — fn maps "
+        f"(B, C, H, W) images to (B, F) features. For smoke tests use "
+        f"'patch_stats' (weight-free, NOT comparable to published FID).")

@@ -449,11 +449,21 @@ def selective_scan(
     """Selective scan with backend dispatch.  See module docstring.
 
     backend: "auto" | "chunked" | "assoc" | "ref" | "pallas".
-    "auto" picks chunked for variable (B, L, N)-shaped B/C (the ZigMa hot
-    path) and assoc otherwise.
+    "auto" picks the Pallas kernel on TPU for the ZigMa hot path (variable
+    (B, L, N)-shaped B/C, no last-state request) — measured ~2 ms for the
+    flagship (16, 1024, 1536, 16) scan, at the VPU roofline, while the
+    chunked jnp path must materialize (B, L, D, N) in HBM.  Elsewhere:
+    chunked for variable B/C, assoc for static B/C.
     """
     if backend == "auto":
-        backend = "chunked" if (B.ndim == 3 and C.ndim == 3) else "assoc"
+        variable_bc = B.ndim == 3 and C.ndim == 3
+        L_ = u.shape[1]
+        pallas_ok = (L_ % 128 == 0) or (L_ < 128 and L_ % 8 == 0)
+        if (variable_bc and not return_last_state and pallas_ok
+                and jax.default_backend() == "tpu"):
+            backend = "pallas"
+        else:
+            backend = "chunked" if variable_bc else "assoc"
     if backend == "ref":
         return selective_scan_ref(u, delta, A, B, C, D, z, delta_bias,
                                   delta_softplus, return_last_state)
