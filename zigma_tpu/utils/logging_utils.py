@@ -1,0 +1,111 @@
+"""Rank-0 logging + metric sinks (wandb-optional).
+
+Rebuild of the reference's observability layer
+(reference: utils/train_utils.py:59-77 create_logger, wandb_utils.py,
+train_acc.py:453-490 metric logging).  wandb is optional here (not
+installed in zero-egress environments); metrics always also stream to a
+JSONL file so runs are inspectable without any service.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["create_logger", "MetricLogger", "array_to_image_grid"]
+
+
+def create_logger(log_dir: Optional[str] = None,
+                  name: str = "zigma") -> logging.Logger:
+    """Rank-0: stdout + file handler; other ranks: null logger
+    (utils/train_utils.py:59-77)."""
+    import jax
+
+    logger = logging.getLogger(name)
+    logger.handlers.clear()
+    if jax.process_index() == 0:
+        logger.setLevel(logging.INFO)
+        fmt = logging.Formatter(
+            "[%(asctime)s] %(message)s", datefmt="%Y-%m-%d %H:%M:%S")
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    else:
+        logger.addHandler(logging.NullHandler())
+        logger.propagate = False
+    return logger
+
+
+class MetricLogger:
+    """JSONL metric stream + optional wandb mirror.
+
+    Replaces the reference's direct wandb.log calls (train_acc.py:465-490);
+    every record lands in ``{run_dir}/metrics.jsonl`` regardless.
+    """
+
+    def __init__(self, run_dir: str, use_wandb: bool = False,
+                 wandb_kwargs: Optional[dict] = None):
+        import jax
+
+        self.is_main = jax.process_index() == 0
+        self.run_dir = run_dir
+        self._fh = None
+        self._wandb = None
+        if self.is_main:
+            os.makedirs(run_dir, exist_ok=True)
+            self._fh = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+            if use_wandb:
+                try:
+                    import wandb
+
+                    self._wandb = wandb
+                    wandb.init(**(wandb_kwargs or {}))
+                except ImportError:
+                    logging.getLogger("zigma").warning(
+                        "wandb requested but not installed; JSONL only")
+
+    def log(self, step: int, **metrics):
+        if not self.is_main:
+            return
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            rec[k] = float(v) if isinstance(v, (int, float, np.floating)) else v
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+
+
+def array_to_image_grid(x: np.ndarray, pad: int = 2) -> np.ndarray:
+    """(B, C, H, W) in [-1, 1] -> one (H', W', 3) uint8 grid image
+    (the reference's array2grid_pixel, wandb_utils.py:108-113)."""
+    x = np.asarray(x)
+    x = np.clip((x + 1) / 2, 0, 1)
+    B, C, H, W = x.shape
+    cols = int(np.ceil(np.sqrt(B)))
+    rows = int(np.ceil(B / cols))
+    grid = np.ones((rows * (H + pad) - pad, cols * (W + pad) - pad, 3))
+    for i in range(B):
+        r, c = divmod(i, cols)
+        img = np.transpose(x[i], (1, 2, 0))
+        if C == 1:
+            img = np.repeat(img, 3, axis=-1)
+        elif C > 3:
+            img = img[..., :3]
+        grid[r * (H + pad):r * (H + pad) + H,
+             c * (W + pad):c * (W + pad) + W] = img
+    return (grid * 255).astype(np.uint8)
