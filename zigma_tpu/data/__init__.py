@@ -1,3 +1,13 @@
+from zigma_tpu.data.vae import IdentityCodec, LatentCodec, TorchVAECodec, get_codec
+from zigma_tpu.data.video import (
+    Compose,
+    FeaturePrepDataset,
+    TemporalRandomCrop,
+    UCFCenterCropVideo,
+    center_crop_arr,
+    get_transforms_image,
+    get_transforms_video,
+)
 from zigma_tpu.data.wds import (
     WebDataModuleFromConfig,
     WebDatasetReader,
@@ -11,6 +21,17 @@ from zigma_tpu.data.wds import (
 )
 
 __all__ = [
+    "IdentityCodec",
+    "LatentCodec",
+    "TorchVAECodec",
+    "get_codec",
+    "Compose",
+    "FeaturePrepDataset",
+    "TemporalRandomCrop",
+    "UCFCenterCropVideo",
+    "center_crop_arr",
+    "get_transforms_image",
+    "get_transforms_video",
     "WebDataModuleFromConfig",
     "WebDatasetReader",
     "brace_expand",

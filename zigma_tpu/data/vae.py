@@ -1,0 +1,96 @@
+"""Latent codec: SD-VAE encode/decode behind a uniform interface.
+
+The reference treats the SD VAE as a frozen black box via diffusers
+(reference: train_acc.py:229-241 — sd-vae-ft-ema, or the SD1.5 pipeline VAE
+for text runs; decode at sample_acc.py:365 with the 0.18215 scale).  This
+rebuild keeps that contract behind ``LatentCodec``:
+
+- ``TorchVAECodec``: the exact reference VAE through diffusers on CPU torch,
+  **only if the weights are already in the local HF cache** (zero-egress
+  environments can't download; we fail loudly rather than silently swap
+  models — decoded-pixel metrics are meaningless otherwise).
+- ``IdentityCodec``: pass-through for pipelines that precompute latents in
+  shards (the training path never needs the VAE: latents come from the
+  dataset, train_acc.py:432).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["LatentCodec", "IdentityCodec", "TorchVAECodec", "get_codec",
+           "LATENT_SCALE"]
+
+LATENT_SCALE = 0.18215
+
+
+class LatentCodec:
+    def encode(self, images: np.ndarray) -> np.ndarray:  # (B,C,H,W) [-1,1]
+        raise NotImplementedError
+
+    def decode(self, latents: np.ndarray) -> np.ndarray:  # -> (B,C,H,W) [-1,1]
+        raise NotImplementedError
+
+
+class IdentityCodec(LatentCodec):
+    def encode(self, images):
+        return np.asarray(images)
+
+    def decode(self, latents):
+        return np.asarray(latents)
+
+
+class TorchVAECodec(LatentCodec):
+    """diffusers AutoencoderKL on CPU torch, local cache only."""
+
+    def __init__(self, model_id: str = "stabilityai/sd-vae-ft-ema",
+                 scale: float = LATENT_SCALE):
+        try:
+            from diffusers import AutoencoderKL
+        except ImportError as e:
+            raise RuntimeError(
+                "diffusers is not installed; use IdentityCodec or install "
+                "diffusers with a locally cached VAE") from e
+        try:
+            self.vae = AutoencoderKL.from_pretrained(
+                model_id, local_files_only=True).eval()
+        except Exception as e:
+            raise RuntimeError(
+                f"VAE weights for {model_id!r} not in the local HF cache "
+                f"(this environment has no egress): {e}") from e
+        self.scale = scale
+
+    def encode(self, images):
+        import torch
+
+        with torch.no_grad():
+            t = torch.from_numpy(np.asarray(images, np.float32))
+            lat = self.vae.encode(t).latent_dist.sample()
+            return (lat * self.scale).numpy()
+
+    def decode(self, latents):
+        import torch
+
+        with torch.no_grad():
+            t = torch.from_numpy(np.asarray(latents, np.float32)) / self.scale
+            return self.vae.decode(t).sample.clamp(-1, 1).numpy()
+
+
+def get_codec(kind: str = "auto", **kw) -> LatentCodec:
+    """'identity' | 'sd-vae' | 'auto' (sd-vae if locally cached else identity
+    with a warning)."""
+    if kind == "identity":
+        return IdentityCodec()
+    if kind == "sd-vae":
+        return TorchVAECodec(**kw)
+    try:
+        return TorchVAECodec(**kw)
+    except RuntimeError:
+        import logging
+
+        logging.getLogger("zigma").warning(
+            "no local SD-VAE weights; falling back to IdentityCodec "
+            "(outputs stay in latent space)")
+        return IdentityCodec()

@@ -301,6 +301,32 @@ class ZigMa(nn.Module):
             return self._unpatchify_video(h)
         return self._unpatchify(h)
 
+    def forward_with_cfg(self, x, t, y, cfg_scale: float, y_null=None,
+                         cfg_channels: Optional[int] = None):
+        """Classifier-free guidance forward.
+
+        The reference's version is vestigial (raises NotImplementedError,
+        model_zigma.py:992-993); this implements the standard batched
+        cond/uncond formulation its dead code sketched, including the
+        DiT-style option of guiding only the first ``cfg_channels`` channels
+        (model_zigma.py:1000-1010 applies it to 3 of 4).
+
+        y_null: unconditional conditioning (zeros of y's shape by default —
+        for class models pass the null-class label explicitly).
+        """
+        if y_null is None:
+            y_null = jnp.zeros_like(y)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        y2 = jnp.concatenate([y, y_null], axis=0)
+        out = self(x2, t2, y2)
+        cond, uncond = jnp.split(out, 2, axis=0)
+        guided = uncond + cfg_scale * (cond - uncond)
+        if cfg_channels is not None and cfg_channels < out.shape[1]:
+            guided = jnp.concatenate(
+                [guided[:, :cfg_channels], cond[:, cfg_channels:]], axis=1)
+        return guided
+
     def _unpatchify(self, x):
         """(B, L, p*p*C) -> (B, C, H, W)  (model_zigma.py:874-887)."""
         c, p = self.in_channels, self.patch_size
