@@ -7,6 +7,11 @@ Baseline: the BASELINE.json north-star target of 4 images/sec/chip on v5e
 for 50-step ODE sampling of 256^2 latents (4x32x32) with the flagship
 zigzag8_b1_pe2 model (embed_dim=768, depth=24, patch=1, zigzagN8).
 ``vs_baseline`` is value / 4.0 (>1 beats the target).
+
+Timing note: on the axon-relayed chip ``block_until_ready`` does not block,
+so each timed call returns a scalar (sum of the sampled batch) and is synced
+by transferring that scalar to the host; the RNG key is derived in-jit from
+the iteration index so no per-call data upload is needed.
 """
 
 from __future__ import annotations
@@ -39,18 +44,18 @@ def main():
                                    num_steps=num_steps)
 
     @jax.jit
-    def generate(z):
+    def generate_sum(i):
+        z = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                              (batch, 4, 32, 32))
         model_fn = lambda x, t: model.apply(params, x, t)
-        return sample_fn(z, model_fn)[-1]
+        return jnp.float32(jnp.sum(sample_fn(z, model_fn)[-1]))
 
-    z = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 32, 32))
-    # warmup / compile
-    generate(z).block_until_ready()
+    float(generate_sum(0))  # warmup / compile
 
     n_iters = 3
     start = time.perf_counter()
-    for i in range(n_iters):
-        generate(z).block_until_ready()
+    for i in range(1, n_iters + 1):
+        s = float(generate_sum(i))  # scalar host transfer = real sync
     elapsed = time.perf_counter() - start
 
     n_chips = max(jax.local_device_count(), 1)

@@ -102,8 +102,22 @@ def tar_samples(url: str, handler: str = "warn") -> Iterator[dict]:
     """Yield {'__key__': ..., '<ext>': bytes, ...} sample dicts from one tar.
 
     Files sharing a basename prefix (up to the first dot) form one sample,
-    in tar order — the webdataset grouping rule.
+    in tar order — the webdataset grouping rule.  Uses the native C++
+    indexed reader (zigma_tpu/native/zt_tar.cc) when it builds, falling
+    back to Python tarfile.
     """
+    from zigma_tpu.native.tar_reader import available, native_tar_samples
+
+    if available():
+        try:
+            yield from native_tar_samples(url)
+            return
+        except OSError as e:
+            if handler == "warn":
+                log.warning("native reader failed on %s (%s); tarfile fallback",
+                            url, e)
+            else:
+                raise
     try:
         tf = tarfile.open(url, mode="r|*")
     except (OSError, tarfile.TarError) as e:
