@@ -139,6 +139,30 @@ class TestZigMa:
         flat, _ = jax.flatten_util.ravel_pytree(g)
         assert jnp.isfinite(flat).all()
 
+    def test_scan_layers_matches_loop(self):
+        """nn.scan-over-layers path equals the python-loop path given the
+        same (restacked) parameters."""
+        kw = dict(in_channels=4, embed_dim=64, depth=3, img_dim=8,
+                  patch_size=1, scan_type="zigzagN2", use_pe=2,
+                  scan_backend="ref")
+        m_loop = ZigMa(scan_layers=False, **kw)
+        m_scan = ZigMa(scan_layers=True, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jax.random.uniform(jax.random.PRNGKey(1), (2,))
+        params = m_loop.init(jax.random.PRNGKey(2), x, t)
+
+        from zigma_tpu.convert.torch_zigma import jax_tree_stack
+
+        p = dict(params["params"])
+        blocks = [p.pop(f"blocks_{i}") for i in range(3)]
+        p["blocks"] = jax.tree.map(jnp.asarray, jax_tree_stack(
+            [jax.tree.map(np.asarray, b) for b in blocks]))
+        stacked = {"params": p}
+
+        np.testing.assert_allclose(
+            np.asarray(m_loop.apply(params, x, t)),
+            np.asarray(m_scan.apply(stacked, x, t)), atol=2e-5, rtol=1e-4)
+
     def test_use_checkpoint_matches(self):
         kw = dict(in_channels=4, embed_dim=64, depth=2, img_dim=8,
                   patch_size=1, scan_type="v1", scan_backend="ref")

@@ -32,8 +32,8 @@ def load_params(cfg, model, example_shape):
     if path.endswith(".pt"):
         from zigma_tpu.convert import convert_reference_checkpoint
 
-        return jax.tree.map(jnp.asarray,
-                            convert_reference_checkpoint(path, "ema"))
+        return jax.tree.map(jnp.asarray, convert_reference_checkpoint(
+            path, "ema", scan_layers=model.effective_scan_layers))
     # orbax: restore the TrainState and take the EMA tree
     from zigma_tpu.train import TrainState, create_optimizer
 

@@ -179,6 +179,31 @@ def main(argv=None):
     log_every = int(cfg.get("log_every", 100))
     ckpt_every = int(cfg.get("ckpt_every", 50_000))
     sample_every = int(cfg.get("sample_every", 10_000))
+    fid_every = int(cfg.data.get("sample_fid_every", 0) or 0)
+    fid_n = int(cfg.data.get("sample_fid_n", 0) or 0)
+
+    def fid_eval(state, rng):
+        """FID-on-the-fly with the EMA weights (train_acc.py:507-646).
+        Degrades gracefully when no feature extractor is available."""
+        from zigma_tpu.metrics import MyMetric
+
+        metric = MyMetric(choices=["fid"])
+        bs = int(cfg.data.get("sample_fid_bs", 4))
+        done = 0
+        while done < fid_n:
+            batch = next(gen)
+            real = np.asarray(batch["x"])[:bs]
+            rng, k = jax.random.split(rng)
+            z = jax.random.normal(k, real.shape)
+            y = (jnp.asarray(batch["y"][:bs]) if "y" in batch else None)
+            fake = vis_fn(z, lambda xx, tt: model.apply(
+                state.ema_params, xx, tt, y))[-1]
+            if latent_scale:
+                fake = fake / latent_scale
+            metric.update_real(real)
+            metric.update_fake(np.asarray(jax.device_get(fake)))
+            done += real.shape[0]
+        return metric.compute()
 
     logger.info("training for %d steps on mesh %s", train_steps,
                 dict(mesh.shape))
@@ -227,6 +252,20 @@ def main(argv=None):
                         os.path.join(run_dir, "vis", f"{step:07d}.png"))
             except Exception as e:  # train must survive sampler blowups
                 logger.warning("in-training sampling failed: %s", e)
+
+        if fid_every and fid_n and step % fid_every == 0:
+            try:
+                rng, k_fid = jax.random.split(rng)
+                scores = fid_eval(state, k_fid)
+                logger.info("step %d  eval %s", step, scores)
+                mlog.log(step, **{f"eval/{k}": v for k, v in scores.items()})
+                if scores.get("fid", float("inf")) < float(
+                        jax.device_get(state.best_fid)):
+                    state = state.replace(
+                        best_fid=jnp.asarray(scores["fid"], jnp.float32))
+            except RuntimeError as e:  # no feature extractor available
+                logger.warning("FID eval unavailable: %s", e)
+                fid_every = 0  # don't retry every interval
 
     if jax.process_index() == 0:
         path = save_checkpoint(ckpt_dir, state)

@@ -23,7 +23,15 @@ from typing import Any, Optional
 import numpy as np
 
 __all__ = ["convert_state_dict", "load_torch_checkpoint",
-           "convert_reference_checkpoint"]
+           "convert_reference_checkpoint", "jax_tree_stack"]
+
+
+def jax_tree_stack(trees: list) -> dict:
+    """Stack a list of identically-structured dict trees leaf-wise."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: jax_tree_stack([t[k] for t in trees]) for k in first}
+    return np.stack([np.asarray(t) for t in trees])
 
 
 def _t(x):
@@ -71,13 +79,18 @@ def _scan_branch(sd: dict, prefix: str, suffix: str = "") -> Optional[dict]:
     return out
 
 
-def convert_state_dict(sd: dict, strict: bool = True) -> dict:
+def convert_state_dict(sd: dict, strict: bool = True,
+                       scan_layers: bool = False) -> dict:
     """Torch ZigMa state dict -> flax ``{"params": {...}}`` tree.
 
     The block count and feature flags (text / class / v2 / parallelN) are
     inferred from the keys, so one converter serves every released
     checkpoint (faceshq1024, landscape1024, churches256, coco;
     README.md:142-159).
+
+    scan_layers=True stacks the per-block trees along a leading depth axis
+    into one ``blocks`` entry — the layout of models built with
+    ``ZigMa(scan_layers=True)`` (nn.scan over layers).
     """
     sd = {k: _to_np(v) for k, v in _strip_module(sd).items()}
     p: dict = {}
@@ -154,6 +167,10 @@ def convert_state_dict(sd: dict, strict: bool = True) -> dict:
             blk["msa"] = msa
         p[f"blocks_{i}"] = blk
 
+    if scan_layers and block_ids:
+        blocks = [p.pop(f"blocks_{i}") for i in block_ids]
+        p["blocks"] = jax_tree_stack(blocks)
+
     p["norm_f_weight"] = np.asarray(sd.pop("norm_f.weight"))
     nfb = sd.pop("norm_f.bias", None)
     if nfb is not None:
@@ -186,7 +203,8 @@ def load_torch_checkpoint(path: str, which: str = "ema") -> dict:
 
 
 def convert_reference_checkpoint(path: str, which: str = "ema",
-                                 strict: bool = True) -> dict:
+                                 strict: bool = True,
+                                 scan_layers: bool = False) -> dict:
     """One-call conversion: .pt path -> flax params tree."""
     return convert_state_dict(load_torch_checkpoint(path, which),
-                              strict=strict)
+                              strict=strict, scan_layers=scan_layers)

@@ -267,9 +267,18 @@ class Mamba(nn.Module):
             kernel_init=self.out_proj_kernel_init or _torch_linear_init(),
             name="out_proj")
 
-    def __call__(self, x):
-        """x: (B, L, d_model) -> (B, L, d_model)."""
+    def __call__(self, x, perm=None, perm_rev=None):
+        """x: (B, L, d_model) -> (B, L, d_model).
+
+        perm/perm_rev override the static module attributes — used by the
+        scan-over-layers path, where each layer's permutation arrives as a
+        traced row of a stacked (depth, L) table.
+        """
         B_, L, _ = x.shape
+        if perm is None:
+            perm = self.perm
+        if perm_rev is None:
+            perm_rev = self.perm_rev
 
         # ---- factorized video fold (mamba_simple.py:396-442) -------------
         video = self.scan_type.startswith(("video_", "zzvideo_"))
@@ -282,9 +291,9 @@ class Mamba(nn.Module):
                 x = x.reshape(B_, T, K, self.d_model)
                 x = jnp.moveaxis(x, 2, 1).reshape(B_ * K, T, self.d_model)
 
-        # ---- static scan-path permutation (gather, fused under jit) ------
-        if self.perm is not None:
-            x = jnp.take(x, jnp.asarray(self.perm, jnp.int32), axis=1)
+        # ---- scan-path permutation (gather, fused under jit) -------------
+        if perm is not None:
+            x = jnp.take(x, jnp.asarray(perm, jnp.int32), axis=1)
 
         xz = self.in_proj(x)
         x_in, z = jnp.split(xz, 2, axis=-1)
@@ -305,8 +314,8 @@ class Mamba(nn.Module):
 
         out = self.out_proj(y)
 
-        if self.perm_rev is not None:
-            out = jnp.take(out, jnp.asarray(self.perm_rev, jnp.int32), axis=1)
+        if perm_rev is not None:
+            out = jnp.take(out, jnp.asarray(perm_rev, jnp.int32), axis=1)
 
         if video:
             T = self.video_frames

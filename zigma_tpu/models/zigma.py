@@ -138,7 +138,7 @@ class ZigMaBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual, c, text=None):
+    def __call__(self, x, residual, c, text=None, perm=None, perm_rev=None):
         norm_w = self.param("norm_weight", nn.initializers.ones, (self.dim,),
                             jnp.float32)
         norm_b = (None if self.rms_norm else
@@ -162,7 +162,8 @@ class ZigMaBlock(nn.Module):
             d_model=self.dim, dtype=self.dtype,
             out_proj_kernel_init=_rescaled_linear_init(self.n_layer),
             name="mixer", **self.mixer_cfg)
-        x = x + parts[2][:, None] * mixer(modulate(x, parts[0], parts[1]))
+        x = x + parts[2][:, None] * mixer(
+            modulate(x, parts[0], parts[1]), perm=perm, perm_rev=perm_rev)
 
         if self.has_text:
             h = layer_norm(x, eps=1e-6)  # norm_msa: no affine
@@ -201,10 +202,29 @@ class ZigMa(nn.Module):
     dtype: Any = jnp.float32
     scan_backend: str = "auto"
     scan_chunk: int = 128
+    # scan-over-layers: the block body appears ONCE in the compiled program
+    # (24x smaller HLO / faster compiles for the flagship); per-layer
+    # permutations become rows of a stacked (depth, L) gather table.  None =
+    # auto (on for uniform image stacks; off for video / per-layer-PE /
+    # parallelN, which need per-layer structure).  Param layout differs
+    # (stacked 'blocks' vs 'blocks_{i}'); the converter handles both.
+    scan_layers: Optional[bool] = None
 
     @property
     def num_patches(self) -> int:
         return (self.img_dim // self.patch_size) ** 2
+
+    @property
+    def effective_scan_layers(self) -> bool:
+        """Resolved scan-over-layers decision (also used by the checkpoint
+        converter to pick the matching param layout).  Auto: on for uniform
+        image stacks deep enough for the compile-size win to matter."""
+        if self.scan_layers is not None:
+            return self.scan_layers
+        uniform = (not self.scan_type.startswith(("video_", "zzvideo_",
+                                                  "parallelN"))
+                   and self.use_pe != 3)
+        return uniform and self.depth >= 8
 
     def _layer_paths(self):
         patch_side = self.img_dim // self.patch_size
@@ -259,31 +279,86 @@ class ZigMa(nn.Module):
             parallel_perms = tuple(
                 (base[i % 8], reverse_permutation(base[i % 8])) for i in range(n))
 
-        block_cls = ZigMaBlock
-        if self.use_checkpoint:
-            block_cls = nn.remat(ZigMaBlock, static_argnums=())
+        scan_layers = self.effective_scan_layers
 
-        residual = None
-        for i in range(self.depth):
-            if self.use_pe == 3:
-                pe_i = self.param(f"pos_embed_{i}", nn.initializers.zeros,
-                                  (1, n_pe, self.embed_dim), jnp.float32)
-                h = h + pe_i.astype(self.dtype)
+        text = y_emb if self.has_text else None
+        block_kw = dict(
+            dim=self.embed_dim, has_text=self.has_text,
+            rms_norm=self.rms_norm, norm_epsilon=self.norm_epsilon,
+            residual_in_fp32=self.residual_in_fp32, n_layer=self.depth,
+            dtype=self.dtype)
+
+        if scan_layers:
             mixer_cfg = dict(
-                scan_type=self.scan_type, layer_idx=i,
-                perm=paths[i], perm_rev=paths_rev[i],
-                video_frames=self.video_frames,
-                st=st_order[i] if st_order is not None else None,
+                scan_type=self.scan_type,
+                video_frames=self.video_frames, st=None,
                 parallel_perms=parallel_perms,
                 scan_backend=self.scan_backend, scan_chunk=self.scan_chunk,
                 **(self.ssm_cfg or {}))
-            h, residual = block_cls(
-                dim=self.embed_dim, mixer_cfg=mixer_cfg,
-                has_text=self.has_text, rms_norm=self.rms_norm,
-                norm_epsilon=self.norm_epsilon,
-                residual_in_fp32=self.residual_in_fp32,
-                n_layer=self.depth, dtype=self.dtype,
-                name=f"blocks_{i}")(h, residual, c, y_emb if self.has_text else None)
+            if paths[0] is not None:
+                perms = jnp.asarray(np.stack(paths), jnp.int32)
+                perms_rev = jnp.asarray(np.stack(paths_rev), jnp.int32)
+            else:  # v1/v2: no permutation; scan over a dummy index table
+                perms = None
+                perms_rev = None
+
+            def body(block, carry, scanned):
+                h, residual = carry
+                perm, perm_rev = scanned
+                h, residual = block(h, residual, c, text, perm, perm_rev)
+                return (h, residual), None
+
+            block_cls = ZigMaBlock
+            if self.use_checkpoint:
+                block_cls = nn.remat(ZigMaBlock, static_argnums=())
+            scanned_blocks = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                length=self.depth,
+            )
+            xs = ((perms, perms_rev) if perms is not None
+                  else (jnp.zeros((self.depth, 0), jnp.int32),) * 2)
+            if perms is None:
+                def body_noperm(block, carry, scanned):
+                    del scanned
+                    h, residual = carry
+                    h, residual = block(h, residual, c, text)
+                    return (h, residual), None
+                scanned_blocks = nn.scan(
+                    body_noperm, variable_axes={"params": 0},
+                    split_rngs={"params": True}, in_axes=0,
+                    length=self.depth)
+            block = block_cls(mixer_cfg=mixer_cfg, **block_kw, name="blocks")
+            # residual=0 (not None): the scan carry structure must be fixed;
+            # add_norm(x, ..., residual=0) == add_norm(x, ..., None)
+            res0 = jnp.zeros(
+                h.shape,
+                jnp.float32 if self.residual_in_fp32 else h.dtype)
+            (h, residual), _ = scanned_blocks(block, (h, res0), xs)
+        else:
+            block_cls = ZigMaBlock
+            if self.use_checkpoint:
+                block_cls = nn.remat(ZigMaBlock, static_argnums=())
+
+            residual = None
+            for i in range(self.depth):
+                if self.use_pe == 3:
+                    pe_i = self.param(f"pos_embed_{i}", nn.initializers.zeros,
+                                      (1, n_pe, self.embed_dim), jnp.float32)
+                    h = h + pe_i.astype(self.dtype)
+                mixer_cfg = dict(
+                    scan_type=self.scan_type, layer_idx=i,
+                    perm=paths[i], perm_rev=paths_rev[i],
+                    video_frames=self.video_frames,
+                    st=st_order[i] if st_order is not None else None,
+                    parallel_perms=parallel_perms,
+                    scan_backend=self.scan_backend, scan_chunk=self.scan_chunk,
+                    **(self.ssm_cfg or {}))
+                h, residual = block_cls(
+                    mixer_cfg=mixer_cfg, **block_kw,
+                    name=f"blocks_{i}")(h, residual, c, text)
 
         # final add-norm (prenorm=False) + head (model_zigma.py:963-988)
         normf_w = self.param("norm_f_weight", nn.initializers.ones,

@@ -20,14 +20,19 @@ TPU-native design:
   broadcast along lanes without transposes.
 - delta bias + softplus are fused in, matching the CUDA fwd
   (selective_scan_fwd_kernel.cuh:154-156).
-- Backward: jax.custom_vjp that recomputes per-chunk states (same
-  recompute-in-backward strategy as the reference) via the jnp chunked
-  backward — a dedicated reverse Pallas kernel can replace it later without
-  changing the API.
+- Backward: a dedicated reverse Pallas kernel.  The forward also emits the
+  chunk-start states (the analogue of the CUDA ``x`` intermediates tensor,
+  selective_scan.cpp:307-313); the backward walks the chunk grid in reverse,
+  recomputes the in-chunk states from each carry (the reference's
+  recompute-in-backward, selective_scan_bwd_kernel.cuh), runs the adjoint
+  reverse scan with the cotangent carry in VMEM, and emits du/ddelta plus
+  per-(batch, d-block) partials for dB/dC/dA that XLA reduces outside — no
+  atomics, so gradients are deterministic (the CUDA bwd's gpuAtomicAdd for
+  dB/dC is not, selective_scan_bwd_kernel.cuh:297-313).
 
-The gating ``y * silu(z)`` and the ``D * u`` skip stay outside the kernel:
-they are pointwise on (B, L, D) and XLA fuses them into neighbouring ops for
-free, keeping the kernel minimal.
+The gating ``y * silu(z)`` and the ``D * u`` skip stay outside the kernel as
+plain jnp: they are pointwise on (B, L, D), XLA fuses them, and JAX autodiff
+composes their gradients with the core custom VJP automatically.
 """
 
 from __future__ import annotations
@@ -44,7 +49,7 @@ __all__ = ["selective_scan_pallas", "scan_core_pallas"]
 
 
 def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,  # inputs
-                 y_ref,                                          # output
+                 y_ref, carry_ref,                               # outputs
                  state_ref, decay_s, w_s, xs_s,                  # scratch
                  *, softplus: bool, group: int):
     """One (batch, d-block, chunk) grid step.
@@ -75,6 +80,10 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,  # inputs
     @pl.when(k == 0)
     def _():
         state_ref[...] = jnp.zeros_like(state_ref)
+
+    # chunk-START state, saved for the backward pass (the CUDA kernel's
+    # ``x`` intermediates tensor)
+    carry_ref[0, 0] = state_ref[...]
 
     u = u_ref[0].astype(jnp.float32)          # (BL, BD)
     dt = dt_ref[0].astype(jnp.float32) + bias_ref[0][None, :]
@@ -110,25 +119,30 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,  # inputs
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
-                                             "group", "interpret"))
-def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, *, softplus: bool = True,
-                     block_l: int = 128, block_d: int = 512, group: int = 8,
-                     interpret: bool = False):
-    """Raw kernel call: y (B, L, D) fp32-accurate scan output, no gating/skip.
-
-    u, delta: (B, L, D); delta_bias: (D,) fp32; A: (D, N) fp32;
-    Bv, Cv: (B, L, N).
-    """
-    batch, L, D = u.shape
-    N = A.shape[1]
+def _blocks(L, D, block_l, block_d, group):
     BL = min(block_l, L)
     BD = min(block_d, D)
     while D % BD:
         BD //= 2
     if L % BL or BL % group:
         raise ValueError(f"L={L} must divide block_l={BL} (group {group})")
-    n_chunks = L // BL
+    return BL, BD, L // BL
+
+
+@functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
+                                             "group", "interpret"))
+def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, *,
+                         softplus: bool = True, block_l: int = 128,
+                         block_d: int = 512, group: int = 8,
+                         interpret: bool = False):
+    """Forward kernel: (y, chunk_carries).
+
+    u, delta: (B, L, D); delta_bias: (D,) fp32; A: (D, N) fp32;
+    Bv, Cv: (B, L, N).  carries: (B, n_chunks, N, D) fp32 chunk-START states.
+    """
+    batch, L, D = u.shape
+    N = A.shape[1]
+    BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group)
 
     At = jnp.asarray(A, jnp.float32).T  # (N, D)
     # lane-size-1 layout: per-(t, n) scalars broadcast along lanes natively
@@ -149,8 +163,14 @@ def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, *, softplus: bool = True,
             pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, k, 0, 0)),
             pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, k, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
-        out_shape=jax.ShapeDtypeStruct((batch, L, D), u.dtype),
+        out_specs=(
+            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
+            pl.BlockSpec((1, 1, N, BD), lambda b, j, k: (b, k, 0, j)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, L, D), u.dtype),
+            jax.ShapeDtypeStruct((batch, n_chunks, N, D), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((N, BD), jnp.float32),
             pltpu.VMEM((BL, N, BD), cdtype),
@@ -167,44 +187,189 @@ def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, *, softplus: bool = True,
     )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4)
 
 
+def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, **kw):
+    """Raw kernel call returning only y (see scan_core_fwd_pallas)."""
+    return scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, **kw)[0]
+
+
 # ---------------------------------------------------------------------------
-# public op with custom VJP (backward = recompute via the chunked jnp path)
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
+                     carry_ref, gy_ref,                          # inputs
+                     du_ref, dd_ref, dBp_ref, dCp_ref, dAp_ref,  # outputs
+                     gcarry_s, decay_s, w_s, xs_s, gs_s,         # scratch
+                     *, softplus: bool):
+    """Reverse grid step: chunk kk = n_chunks-1-k (via index maps).
+
+    Recomputes in-chunk states from the saved chunk-start carry, runs the
+    adjoint reverse recurrence g_t = dy_t*C_t + decay_{t+1} g_{t+1} with the
+    inter-chunk cotangent in ``gcarry_s``, then emits all gradient pieces in
+    bulk passes.  dB/dC come out as per-d-block partials and dA as per-batch
+    partials (summed outside) so every output block is revisited contiguously
+    — the deterministic replacement for the CUDA kernel's atomics.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        gcarry_s[...] = jnp.zeros_like(gcarry_s)
+        dAp_ref[0] = jnp.zeros_like(dAp_ref[0])
+
+    u = u_ref[0].astype(jnp.float32)                       # (BL, BD)
+    dt_pre = dt_ref[0].astype(jnp.float32) + bias_ref[0][None, :]
+    if softplus:
+        sig = jax.nn.sigmoid(dt_pre)
+        dt = jnp.where(dt_pre <= 20.0, jnp.log1p(jnp.exp(dt_pre)), dt_pre)
+    else:
+        sig = jnp.ones_like(dt_pre)
+        dt = dt_pre
+    A = A_ref[...]                                          # (N, BD)
+    Bv = B_ref[0, :, :, 0][..., None]                       # (BL, N, 1)
+    Cv = C_ref[0, :, :, 0][..., None]
+    gy = gy_ref[0].astype(jnp.float32)                      # (BL, BD)
+    cdtype = decay_s.dtype
+    dtu = dt * u
+
+    decay_s[...] = jnp.exp(dt[:, None, :] * A[None]).astype(cdtype)
+    w_s[...] = (dtu[:, None, :] * Bv.astype(jnp.float32)).astype(cdtype)
+
+    BL = u.shape[0]
+
+    # forward recompute within the chunk from the saved carry
+    def fwd_step(t, x):
+        x = decay_s[t].astype(jnp.float32) * x + w_s[t].astype(jnp.float32)
+        xs_s[t] = x.astype(cdtype)
+        return x
+
+    jax.lax.fori_loop(0, BL, fwd_step, carry_ref[0, 0])
+
+    # adjoint reverse recurrence; dx_local staged in gs_s first
+    gs_s[...] = (gy[:, None, :] * Cv.astype(jnp.float32))
+
+    def bwd_step(i, c):
+        t = BL - 1 - i
+        g = gs_s[t] + c
+        gs_s[t] = g
+        return decay_s[t].astype(jnp.float32) * g
+
+    gcarry_s[...] = jax.lax.fori_loop(0, BL, bwd_step, gcarry_s[...])
+
+    # bulk gradient assembly
+    gs = gs_s[...]                                          # (BL, N, BD) f32
+    xs = xs_s[...].astype(jnp.float32)
+    w = w_s[...].astype(jnp.float32)
+    dla = gs * (xs - w)                                     # d log-decay
+    gB = jnp.sum(gs * Bv.astype(jnp.float32), axis=1)       # (BL, BD)
+    dd = jnp.sum(dla * A[None], axis=1) + gB * u
+    dd_ref[0] = (dd * sig).astype(dd_ref.dtype)             # softplus bwd
+    du_ref[0] = (dt * gB).astype(du_ref.dtype)
+    dBp_ref[0, 0] = jnp.sum(gs * dtu[:, None, :], axis=2).astype(dBp_ref.dtype)
+    dCp_ref[0, 0] = jnp.sum(gy[:, None, :] * xs, axis=2).astype(dCp_ref.dtype)
+    dAp_ref[0] = dAp_ref[0] + jnp.sum(dla * dt[:, None, :], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
+                                             "interpret"))
+def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy, *,
+                         softplus: bool = True, block_l: int = 128,
+                         block_d: int = 256, interpret: bool = False):
+    """Backward kernel: cotangents (du, ddelta, dA, dB, dC, dbias)."""
+    batch, L, D = u.shape
+    N = A.shape[1]
+    BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group=8)
+    nD = D // BD
+
+    At = jnp.asarray(A, jnp.float32).T
+    B4 = Bv[..., None]
+    C4 = Cv[..., None]
+    cdtype = u.dtype if u.dtype == jnp.bfloat16 else jnp.float32
+
+    grid = (batch, nD, n_chunks)
+    nc = n_chunks  # reverse chunk order via index maps
+
+    du, dd, dBp, dCp, dAp = pl.pallas_call(
+        functools.partial(_scan_bwd_kernel, softplus=softplus),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, BD), lambda b, j, k: (0, j)),
+            pl.BlockSpec((N, BD), lambda b, j, k: (0, j)),
+            pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, nc - 1 - k, 0, 0)),
+            pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, nc - 1 - k, 0, 0)),
+            pl.BlockSpec((1, 1, N, BD), lambda b, j, k: (b, nc - 1 - k, 0, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, 1, BL, N), lambda b, j, k: (b, j, nc - 1 - k, 0)),
+            pl.BlockSpec((1, 1, BL, N), lambda b, j, k: (b, j, nc - 1 - k, 0)),
+            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, L, D), u.dtype),
+            jax.ShapeDtypeStruct((batch, L, D), delta.dtype),
+            jax.ShapeDtypeStruct((batch, nD, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((batch, nD, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, BD), jnp.float32),
+            pltpu.VMEM((BL, N, BD), cdtype),
+            pltpu.VMEM((BL, N, BD), cdtype),
+            pltpu.VMEM((BL, N, BD), cdtype),
+            pltpu.VMEM((BL, N, BD), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=25 * batch * L * D * N,
+            bytes_accessed=6 * batch * L * D * u.dtype.itemsize,
+            transcendentals=batch * L * D * N,
+        ),
+    )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4, carries, gy)
+
+    dB = jnp.sum(dBp, axis=1).astype(Bv.dtype)          # (B, L, N)
+    dC = jnp.sum(dCp, axis=1).astype(Cv.dtype)
+    dA = jnp.sum(dAp, axis=0).T                          # (D, N) fp32
+    dbias = jnp.sum(dd.astype(jnp.float32), axis=(0, 1))
+    return du, dd, dA, dB, dC, dbias
+
+
+# ---------------------------------------------------------------------------
+# custom VJP over the CORE scan (D-skip / z-gating composed outside in jnp,
+# so JAX autodiff handles their gradients)
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _pallas_core(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
-    softplus, has_D, has_z, has_bias, interpret = cfg
-    bias = delta_bias if has_bias else jnp.zeros((u.shape[-1],), jnp.float32)
-    y = scan_core_pallas(u, delta, bias, A, Bv, Cv, softplus=softplus,
-                         interpret=interpret)
-    out = y.astype(jnp.float32)
-    if has_D:
-        out = out + u.astype(jnp.float32) * Dp
-    if has_z:
-        out = out * jax.nn.silu(z.astype(jnp.float32))
-    return out.astype(u.dtype)
+def _core(cfg, u, delta, A, Bv, Cv, delta_bias):
+    softplus, interpret = cfg
+    y, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
+                                softplus=softplus, interpret=interpret)
+    return y
 
 
-def _pallas_fwd(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
-    out = _pallas_core(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias)
-    return out, (u, delta, A, Bv, Cv, Dp, z, delta_bias)
+def _core_fwd(cfg, u, delta, A, Bv, Cv, delta_bias):
+    softplus, interpret = cfg
+    y, carries = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
+                                      softplus=softplus, interpret=interpret)
+    return y, (u, delta, A, Bv, Cv, delta_bias, carries)
 
 
-def _pallas_bwd(cfg, res, g):
-    """Gradients via the chunked jnp backward (recomputes chunk states,
-    mirroring the reference's recompute-in-backward,
-    selective_scan_bwd_kernel.cuh)."""
-    softplus, has_D, has_z, has_bias, _ = cfg
-    u, delta, A, Bv, Cv, Dp, z, delta_bias = res
-    from zigma_tpu.ops.selective_scan import _chunked_core, _chunked_fwd, _chunked_bwd
-
-    jcfg = (128, softplus, has_D, has_z, has_bias)
-    _, vjp_res = _chunked_fwd(jcfg, u, delta, A, Bv, Cv, Dp, z, delta_bias)
-    return _chunked_bwd(jcfg, vjp_res, g)
+def _core_bwd(cfg, res, gy):
+    softplus, interpret = cfg
+    u, delta, A, Bv, Cv, delta_bias, carries = res
+    du, dd, dA, dB, dC, dbias = scan_core_bwd_pallas(
+        u, delta, delta_bias, A, Bv, Cv, carries, gy,
+        softplus=softplus, interpret=interpret)
+    return du, dd, dA, dB, dC, dbias
 
 
-_pallas_core.defvjp(_pallas_fwd, _pallas_bwd)
+_core.defvjp(_core_fwd, _core_bwd)
 
 
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
@@ -222,10 +387,12 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     d_inner = u.shape[-1]
-    cfg = (bool(delta_softplus), D is not None, z is not None,
-           delta_bias is not None, bool(interpret))
-    Dp = D if D is not None else jnp.zeros((d_inner,), jnp.float32)
-    zz = z if z is not None else jnp.zeros((0,), u.dtype)
-    db = (delta_bias if delta_bias is not None
-          else jnp.zeros((0,), jnp.float32))
-    return _pallas_core(cfg, u, delta, A, B, C, Dp, zz, db)
+    bias = (delta_bias if delta_bias is not None
+            else jnp.zeros((d_inner,), jnp.float32))
+    cfg = (bool(delta_softplus), bool(interpret))
+    y = _core(cfg, u, delta, A, B, C, bias).astype(jnp.float32)
+    if D is not None:
+        y = y + u.astype(jnp.float32) * D
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(u.dtype)

@@ -77,20 +77,20 @@ def zigma_param_sharding(params, mesh: Mesh):
     """NamedShardings for a ZigMa param tree: TP rules above, replicated
     otherwise.  With mesh model=1 everything degenerates to replication
     (pure DP = reference parity)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
-    def spec_for(path):
+    def spec_for(path, x):
         name = "/".join(
             p.key if hasattr(p, "key") else str(p) for p in path)
         if mesh.shape.get("model", 1) > 1:
             for pattern, spec in _TP_RULES:
                 if re.match(pattern, name):
+                    extra = x.ndim - len(spec)
+                    if extra > 0:  # stacked scan-over-layers leading axis
+                        spec = P(*([None] * extra), *spec)
                     return spec
         return P()
 
-    specs = {jax.tree_util.keystr(path): spec_for(path) for path, _ in flat}
-
     def map_fn(path, x):
-        return NamedSharding(mesh, specs[jax.tree_util.keystr(path)])
+        return NamedSharding(mesh, spec_for(path, x))
 
     return jax.tree_util.tree_map_with_path(map_fn, params)
