@@ -94,6 +94,47 @@ def _try_torch_inception() -> Optional[Callable]:
         return None
 
 
+def _try_torch_hub(repo: str, model: str) -> Optional[Callable]:
+    """Load a torch.hub model strictly from the local cache."""
+    try:
+        import torch
+
+        net = torch.hub.load(repo, model, trust_repo=True,
+                             skip_validation=True, verbose=False)
+        net = net.eval()
+
+        def extract(imgs: np.ndarray) -> np.ndarray:
+            with torch.no_grad():
+                return net(torch.from_numpy(np.asarray(imgs)).float()).numpy()
+
+        return extract
+    except Exception:
+        return None
+
+
+def _try_torchscript_cache(tag: str) -> Optional[Callable]:
+    """Find a TorchScript .pt in the torch hub cache whose name contains
+    ``tag`` and wrap it as an extractor."""
+    try:
+        import torch
+
+        hub_dir = torch.hub.get_dir()
+        for root, _, files in os.walk(hub_dir):
+            for f in files:
+                if tag in f.lower() and f.endswith((".pt", ".pts")):
+                    net = torch.jit.load(os.path.join(root, f)).eval()
+
+                    def extract(x: np.ndarray) -> np.ndarray:
+                        with torch.no_grad():
+                            return net(torch.from_numpy(
+                                np.asarray(x)).float()).numpy()
+
+                    return extract
+    except Exception:
+        pass
+    return None
+
+
 def get_extractor(name: str = "inception") -> Callable:
     """Resolve a named extractor; see module docstring for the order."""
     if name in _REGISTRY:
@@ -104,6 +145,20 @@ def get_extractor(name: str = "inception") -> Callable:
         return fn
     if name == "inception":
         fn = _try_torch_inception()
+        if fn is not None:
+            _REGISTRY[name] = fn
+            return fn
+    if name == "dinov2":
+        # FDD features: DINOv2 ViT from a local torch.hub cache
+        # (reference: utils/torchmetric_fdd.py:82-91)
+        fn = _try_torch_hub("facebookresearch/dinov2", "dinov2_vitl14")
+        if fn is not None:
+            _REGISTRY[name] = fn
+            return fn
+    if name == "i3d":
+        # FVD features: StyleGAN-V I3D TorchScript from a local cache
+        # (reference: utils/torchmetric_fvd.py:169-186)
+        fn = _try_torchscript_cache("i3d")
         if fn is not None:
             _REGISTRY[name] = fn
             return fn
