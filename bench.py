@@ -44,18 +44,20 @@ def main():
                                    num_steps=num_steps)
 
     @jax.jit
-    def generate_sum(i):
+    def generate_sum(params, i):
+        # params as an ARGUMENT: closing over them would bake ~500 MB of
+        # constants into the HLO (breaks remote-compile payload limits)
         z = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), i),
                               (batch, 4, 32, 32))
         model_fn = lambda x, t: model.apply(params, x, t)
         return jnp.float32(jnp.sum(sample_fn(z, model_fn)[-1]))
 
-    float(generate_sum(0))  # warmup / compile
+    float(generate_sum(params, 0))  # warmup / compile
 
     n_iters = 3
     start = time.perf_counter()
     for i in range(1, n_iters + 1):
-        s = float(generate_sum(i))  # scalar host transfer = real sync
+        s = float(generate_sum(params, i))  # scalar transfer = real sync
     elapsed = time.perf_counter() - start
 
     n_chips = max(jax.local_device_count(), 1)

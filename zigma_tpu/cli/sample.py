@@ -112,8 +112,19 @@ def main(argv=None):
     rank, world = jax.process_index(), jax.process_count()
     rng = jax.random.PRNGKey(int(cfg.get("global_seed", 0)) + rank)
 
-    def model_fn(x, t, y=None):
-        return model.apply(params, x, t, y)
+    # jit with params as an ARGUMENT: closing over them would embed the
+    # whole model as HLO constants (huge compile payloads, recompiles)
+    @jax.jit
+    def gen_ode(params, z):
+        return sample_fn(z, lambda x, t: model.apply(params, x, t))[-1]
+
+    @jax.jit
+    def gen_sde(params, ks, z):
+        return sample_fn(ks, z, lambda x, t: model.apply(params, x, t))[-1]
+
+    @jax.jit
+    def gen_lik(params, ks, z):
+        return sample_fn(ks, z, lambda x, t: model.apply(params, x, t))
 
     from PIL import Image
 
@@ -123,11 +134,11 @@ def main(argv=None):
         rng, kz, ks = jax.random.split(rng, 3)
         z = jax.random.normal(kz, shape)
         if kind == "ode":
-            samples = sample_fn(z, model_fn)[-1]
+            samples = gen_ode(params, z)
         elif kind == "sde":
-            samples = sample_fn(ks, z, model_fn)[-1]
+            samples = gen_sde(params, ks, z)
         else:
-            logp, samples = sample_fn(ks, z, model_fn)
+            logp, samples = gen_lik(params, ks, z)
             logger.info("mean logp: %.2f", float(jnp.mean(logp)))
         if latent_scale:
             samples = samples / latent_scale

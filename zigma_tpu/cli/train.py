@@ -173,7 +173,13 @@ def main(argv=None):
                                 ema_decay=float(cfg.get("ema_rate", 0.9999)))
 
     sampler = Sampler(transport)
-    vis_fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
+    _vis = sampler.sample_ode(sampling_method="euler", num_steps=50)
+
+    # jit with ema_params as an ARGUMENT (closing over params embeds them
+    # as HLO constants: huge compile payloads + recompile per new weights)
+    @jax.jit
+    def vis_fn(ema_params, z, y=None):
+        return _vis(z, lambda xx, tt: model.apply(ema_params, xx, tt, y))[-1]
 
     train_steps = int(cfg.data.get("train_steps", 100))
     log_every = int(cfg.get("log_every", 100))
@@ -196,8 +202,7 @@ def main(argv=None):
             rng, k = jax.random.split(rng)
             z = jax.random.normal(k, real.shape)
             y = (jnp.asarray(batch["y"][:bs]) if "y" in batch else None)
-            fake = vis_fn(z, lambda xx, tt: model.apply(
-                state.ema_params, xx, tt, y))[-1]
+            fake = vis_fn(state.ema_params, z, y)
             if latent_scale:
                 fake = fake / latent_scale
             metric.update_real(real)
@@ -235,9 +240,7 @@ def main(argv=None):
                 z = jax.random.normal(k_vis, example["x"].shape[:1] +
                                       example["x"].shape[1:])
                 y = jnp.asarray(example["y"]) if "y" in example else None
-                model_fn = lambda xx, tt: model.apply(
-                    state.ema_params, xx, tt, y)
-                samples = vis_fn(z, model_fn)[-1]
+                samples = vis_fn(state.ema_params, z, y)
                 if latent_scale:
                     samples = samples / latent_scale
                 if jax.process_index() == 0:
