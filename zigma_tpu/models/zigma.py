@@ -295,16 +295,11 @@ class ZigMa(nn.Module):
                 parallel_perms=parallel_perms,
                 scan_backend=self.scan_backend, scan_chunk=self.scan_chunk,
                 **(self.ssm_cfg or {}))
-            if paths[0] is not None:
-                perms = jnp.asarray(np.stack(paths), jnp.int32)
-                perms_rev = jnp.asarray(np.stack(paths_rev), jnp.int32)
-            else:  # v1/v2: no permutation; scan over a dummy index table
-                perms = None
-                perms_rev = None
+            has_perms = paths[0] is not None
 
             def body(block, carry, scanned):
                 h, residual = carry
-                perm, perm_rev = scanned
+                perm, perm_rev = scanned if has_perms else (None, None)
                 h, residual = block(h, residual, c, text, perm, perm_rev)
                 return (h, residual), None
 
@@ -318,18 +313,11 @@ class ZigMa(nn.Module):
                 in_axes=0,
                 length=self.depth,
             )
-            xs = ((perms, perms_rev) if perms is not None
-                  else (jnp.zeros((self.depth, 0), jnp.int32),) * 2)
-            if perms is None:
-                def body_noperm(block, carry, scanned):
-                    del scanned
-                    h, residual = carry
-                    h, residual = block(h, residual, c, text)
-                    return (h, residual), None
-                scanned_blocks = nn.scan(
-                    body_noperm, variable_axes={"params": 0},
-                    split_rngs={"params": True}, in_axes=0,
-                    length=self.depth)
+            if has_perms:
+                xs = (jnp.asarray(np.stack(paths), jnp.int32),
+                      jnp.asarray(np.stack(paths_rev), jnp.int32))
+            else:  # v1/v2: no permutation; dummy per-layer input
+                xs = (jnp.zeros((self.depth, 0), jnp.int32),) * 2
             block = block_cls(mixer_cfg=mixer_cfg, **block_kw, name="blocks")
             # residual=0 (not None): the scan carry structure must be fixed;
             # add_norm(x, ..., residual=0) == add_norm(x, ..., None)
