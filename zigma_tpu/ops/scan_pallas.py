@@ -48,8 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["selective_scan_pallas", "scan_core_pallas"]
 
 
-def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,  # inputs
-                 y_ref, carry_ref,                               # outputs
+def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
+                 x0_ref,                                         # inputs
+                 y_ref, carry_ref, xlast_ref,                    # outputs
                  state_ref, decay_s, w_s, xs_s,                  # scratch
                  *, softplus: bool, group: int):
     """One (batch, d-block, chunk) grid step.
@@ -76,10 +77,13 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,  # inputs
     ~53 ns unrolled), then static register extracts drive the FMAs.
     """
     k = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _():
-        state_ref[...] = jnp.zeros_like(state_ref)
+        # initial state: zeros by default; callers (decode prefill,
+        # sequence-parallel sharding) pass an incoming state
+        state_ref[...] = x0_ref[0]
 
     # chunk-START state, saved for the backward pass (the CUDA kernel's
     # ``x`` intermediates tensor)
@@ -113,6 +117,10 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,  # inputs
     state = jax.lax.fori_loop(0, BL // group, body, state_ref[...])
     state_ref[...] = state
 
+    @pl.when(k == n_chunks - 1)
+    def _():
+        xlast_ref[0] = state  # final SSM state (decode prefill / seq-parallel)
+
     # bulk output contraction: y(t, d) = sum_n C(t, n) * x(t, n, d)
     y = jnp.sum(xs_s[...].astype(jnp.float32) * Cv.astype(jnp.float32),
                 axis=1)                                        # (BL, BD)
@@ -131,14 +139,16 @@ def _blocks(L, D, block_l, block_d, group):
 
 @functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
                                              "group", "interpret"))
-def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, *,
+def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None, *,
                          softplus: bool = True, block_l: int = 128,
                          block_d: int = 512, group: int = 8,
                          interpret: bool = False):
-    """Forward kernel: (y, chunk_carries).
+    """Forward kernel: (y, chunk_carries, x_last).
 
     u, delta: (B, L, D); delta_bias: (D,) fp32; A: (D, N) fp32;
-    Bv, Cv: (B, L, N).  carries: (B, n_chunks, N, D) fp32 chunk-START states.
+    Bv, Cv: (B, L, N); x0: optional (B, N, D) fp32 initial state.
+    carries: (B, n_chunks, N, D) fp32 chunk-START states;
+    x_last: (B, N, D) fp32 final state.
     """
     batch, L, D = u.shape
     N = A.shape[1]
@@ -149,6 +159,8 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, *,
     B4 = Bv[..., None]  # (B, L, N, 1)
     C4 = Cv[..., None]
     cdtype = u.dtype if u.dtype == jnp.bfloat16 else jnp.float32
+    if x0 is None:
+        x0 = jnp.zeros((batch, N, D), jnp.float32)
 
     grid = (batch, D // BD, n_chunks)
 
@@ -162,14 +174,17 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, *,
             pl.BlockSpec((N, BD), lambda b, j, k: (0, j)),
             pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, k, 0, 0)),
             pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, k, 0, 0)),
+            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
         ],
         out_specs=(
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
             pl.BlockSpec((1, 1, N, BD), lambda b, j, k: (b, k, 0, j)),
+            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, L, D), u.dtype),
             jax.ShapeDtypeStruct((batch, n_chunks, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((N, BD), jnp.float32),
@@ -184,7 +199,7 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, *,
                             + 2 * batch * L * N * 4),
             transcendentals=batch * L * D * N,
         ),
-    )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4)
+    )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4, x0)
 
 
 def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, **kw):
@@ -198,8 +213,9 @@ def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, **kw):
 
 
 def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
-                     carry_ref, gy_ref,                          # inputs
-                     du_ref, dd_ref, dBp_ref, dCp_ref, dAp_ref,  # outputs
+                     carry_ref, gy_ref, glast_ref,               # inputs
+                     du_ref, dd_ref, dBp_ref, dCp_ref, dAp_ref,
+                     dx0_ref,                                    # outputs
                      gcarry_s, decay_s, w_s, xs_s, gs_s,         # scratch
                      *, softplus: bool):
     """Reverse grid step: chunk kk = n_chunks-1-k (via index maps).
@@ -215,7 +231,9 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
 
     @pl.when(k == 0)
     def _():
-        gcarry_s[...] = jnp.zeros_like(gcarry_s)
+        # cotangent of the FINAL state seeds the adjoint (zero unless the
+        # caller consumed x_last, e.g. sequence-parallel / prefill)
+        gcarry_s[...] = glast_ref[0]
         dAp_ref[0] = jnp.zeros_like(dAp_ref[0])
 
     u = u_ref[0].astype(jnp.float32)                       # (BL, BD)
@@ -269,14 +287,20 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
     dBp_ref[0, 0] = jnp.sum(gs * dtu[:, None, :], axis=2).astype(dBp_ref.dtype)
     dCp_ref[0, 0] = jnp.sum(gy[:, None, :] * xs, axis=2).astype(dCp_ref.dtype)
     dAp_ref[0] = dAp_ref[0] + jnp.sum(dla * dt[:, None, :], axis=0)
+    # after the LAST grid step for this (b, j) — chunk 0 — gcarry holds the
+    # cotangent w.r.t. the initial state (contiguously revisited block)
+    dx0_ref[0] = gcarry_s[...]
 
 
 @functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
                                              "interpret"))
-def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy, *,
+def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
+                         g_last=None, *,
                          softplus: bool = True, block_l: int = 128,
                          block_d: int = 256, interpret: bool = False):
-    """Backward kernel: cotangents (du, ddelta, dA, dB, dC, dbias)."""
+    """Backward kernel: cotangents (du, ddelta, dA, dB, dC, dbias, dx0).
+
+    g_last: optional (B, N, D) cotangent w.r.t. the final state."""
     batch, L, D = u.shape
     N = A.shape[1]
     BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group=8)
@@ -286,11 +310,13 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy, *,
     B4 = Bv[..., None]
     C4 = Cv[..., None]
     cdtype = u.dtype if u.dtype == jnp.bfloat16 else jnp.float32
+    if g_last is None:
+        g_last = jnp.zeros((batch, N, D), jnp.float32)
 
     grid = (batch, nD, n_chunks)
     nc = n_chunks  # reverse chunk order via index maps
 
-    du, dd, dBp, dCp, dAp = pl.pallas_call(
+    du, dd, dBp, dCp, dAp, dx0 = pl.pallas_call(
         functools.partial(_scan_bwd_kernel, softplus=softplus),
         grid=grid,
         in_specs=[
@@ -302,6 +328,7 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy, *,
             pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, nc - 1 - k, 0, 0)),
             pl.BlockSpec((1, 1, N, BD), lambda b, j, k: (b, nc - 1 - k, 0, j)),
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
         ],
         out_specs=(
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
@@ -309,12 +336,14 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy, *,
             pl.BlockSpec((1, 1, BL, N), lambda b, j, k: (b, j, nc - 1 - k, 0)),
             pl.BlockSpec((1, 1, BL, N), lambda b, j, k: (b, j, nc - 1 - k, 0)),
             pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
+            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, L, D), u.dtype),
             jax.ShapeDtypeStruct((batch, L, D), delta.dtype),
             jax.ShapeDtypeStruct((batch, nD, L, N), jnp.float32),
             jax.ShapeDtypeStruct((batch, nD, L, N), jnp.float32),
+            jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
             jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
         ),
         scratch_shapes=[
@@ -330,13 +359,14 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy, *,
             bytes_accessed=6 * batch * L * D * u.dtype.itemsize,
             transcendentals=batch * L * D * N,
         ),
-    )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4, carries, gy)
+    )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4, carries,
+      gy, g_last)
 
     dB = jnp.sum(dBp, axis=1).astype(Bv.dtype)          # (B, L, N)
     dC = jnp.sum(dCp, axis=1).astype(Cv.dtype)
     dA = jnp.sum(dAp, axis=0).T                          # (D, N) fp32
     dbias = jnp.sum(dd.astype(jnp.float32), axis=(0, 1))
-    return du, dd, dA, dB, dC, dbias
+    return du, dd, dA, dB, dC, dbias, dx0
 
 
 # ---------------------------------------------------------------------------
@@ -348,14 +378,14 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy, *,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _core(cfg, u, delta, A, Bv, Cv, delta_bias):
     softplus, interpret = cfg
-    y, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
+    y, _, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
                                 softplus=softplus, interpret=interpret)
     return y
 
 
 def _core_fwd(cfg, u, delta, A, Bv, Cv, delta_bias):
     softplus, interpret = cfg
-    y, carries = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
+    y, carries, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
                                       softplus=softplus, interpret=interpret)
     return y, (u, delta, A, Bv, Cv, delta_bias, carries)
 
@@ -363,13 +393,77 @@ def _core_fwd(cfg, u, delta, A, Bv, Cv, delta_bias):
 def _core_bwd(cfg, res, gy):
     softplus, interpret = cfg
     u, delta, A, Bv, Cv, delta_bias, carries = res
-    du, dd, dA, dB, dC, dbias = scan_core_bwd_pallas(
+    du, dd, dA, dB, dC, dbias, _ = scan_core_bwd_pallas(
         u, delta, delta_bias, A, Bv, Cv, carries, gy,
         softplus=softplus, interpret=interpret)
     return du, dd, dA, dB, dC, dbias
 
 
 _core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _core_x0(cfg, u, delta, A, Bv, Cv, delta_bias, x0):
+    """Seeded core scan: like _core but starting from state x0 (B, N, D).
+    Used by the sequence-parallel wrapper and decode prefill chunking."""
+    softplus, interpret = cfg
+    y, _, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0,
+                                   softplus=softplus, interpret=interpret)
+    return y
+
+
+def _core_x0_fwd(cfg, u, delta, A, Bv, Cv, delta_bias, x0):
+    softplus, interpret = cfg
+    y, carries, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0,
+                                         softplus=softplus,
+                                         interpret=interpret)
+    # carries[:, 0] == x0, so the backward recompute is seeded correctly
+    return y, (u, delta, A, Bv, Cv, delta_bias, carries)
+
+
+def _core_x0_bwd(cfg, res, gy):
+    softplus, interpret = cfg
+    u, delta, A, Bv, Cv, delta_bias, carries = res
+    du, dd, dA, dB, dC, dbias, dx0 = scan_core_bwd_pallas(
+        u, delta, delta_bias, A, Bv, Cv, carries, gy,
+        softplus=softplus, interpret=interpret)
+    return du, dd, dA, dB, dC, dbias, dx0
+
+
+_core_x0.defvjp(_core_x0_fwd, _core_x0_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _core_full(cfg, u, delta, A, Bv, Cv, delta_bias, x0):
+    """Seeded core scan returning (y, x_last) — both differentiable.  The
+    VJP seeds the adjoint reverse recurrence with the x_last cotangent.
+    Building block for sequence-parallel scans and chunked decode prefill."""
+    softplus, interpret = cfg
+    y, _, x_last = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0,
+                                        softplus=softplus,
+                                        interpret=interpret)
+    return y, x_last
+
+
+def _core_full_fwd(cfg, u, delta, A, Bv, Cv, delta_bias, x0):
+    softplus, interpret = cfg
+    y, carries, x_last = scan_core_fwd_pallas(
+        u, delta, delta_bias, A, Bv, Cv, x0,
+        softplus=softplus, interpret=interpret)
+    return (y, x_last), (u, delta, A, Bv, Cv, delta_bias, carries)
+
+
+def _core_full_bwd(cfg, res, g):
+    softplus, interpret = cfg
+    gy, g_last = g
+    u, delta, A, Bv, Cv, delta_bias, carries = res
+    du, dd, dA, dB, dC, dbias, dx0 = scan_core_bwd_pallas(
+        u, delta, delta_bias, A, Bv, Cv, carries, gy, g_last,
+        softplus=softplus, interpret=interpret)
+    return du, dd, dA, dB, dC, dbias, dx0
+
+
+_core_full.defvjp(_core_full_fwd, _core_full_bwd)
 
 
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,

@@ -4,5 +4,7 @@ from zigma_tpu.parallel.mesh import (
     replicate,
     zigma_param_sharding,
 )
+from zigma_tpu.parallel.seq_parallel import selective_scan_seq_parallel
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "zigma_param_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "zigma_param_sharding",
+           "selective_scan_seq_parallel"]
