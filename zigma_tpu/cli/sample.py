@@ -112,42 +112,91 @@ def main(argv=None):
     rank, world = jax.process_index(), jax.process_count()
     rng = jax.random.PRNGKey(int(cfg.get("global_seed", 0)) + rank)
 
+    # conditioning + classifier-free guidance (the reference's cfg_scale is
+    # vestigial/asserted ==1, sample_acc.py:150-151; ours works)
+    cfg_scale = float(cfg.get("cfg_scale", 1.0))
+
+    def _model_fn(params, y):
+        # CFG needs a float conditioning (text features) with a zero null;
+        # integer class labels have no trained null class in these configs
+        if (y is not None and cfg_scale != 1.0
+                and jnp.issubdtype(jnp.asarray(y).dtype, jnp.floating)):
+            from zigma_tpu.models import ZigMa
+
+            return lambda x, t: model.apply(
+                params, x, t, y, cfg_scale, method=ZigMa.forward_with_cfg)
+        return lambda x, t: model.apply(params, x, t, y)
+
     # jit with params as an ARGUMENT: closing over them would embed the
     # whole model as HLO constants (huge compile payloads, recompiles)
     @jax.jit
-    def gen_ode(params, z):
-        return sample_fn(z, lambda x, t: model.apply(params, x, t))[-1]
+    def gen_ode(params, z, y=None):
+        return sample_fn(z, _model_fn(params, y))[-1]
 
     @jax.jit
-    def gen_sde(params, ks, z):
-        return sample_fn(ks, z, lambda x, t: model.apply(params, x, t))[-1]
+    def gen_sde(params, ks, z, y=None):
+        return sample_fn(ks, z, _model_fn(params, y))[-1]
 
     @jax.jit
-    def gen_lik(params, ks, z):
-        return sample_fn(ks, z, lambda x, t: model.apply(params, x, t))
+    def gen_lik(params, ks, z, y=None):
+        return sample_fn(ks, z, _model_fn(params, y))
 
     from PIL import Image
+
+    # optional metrics vs real data (sample_acc.py:359-385, 454-462):
+    # metrics=[fid,kid,...] in config + a validation loader for real batches
+    metric = None
+    real_gen = None
+    metric_choices = cfg.get("metrics") or []
+    if metric_choices:
+        from zigma_tpu.metrics import MyMetric
+
+        metric = MyMetric(choices=list(metric_choices))
+        if cfg.data.get("validation") and not cfg.data.get("synthetic"):
+            from zigma_tpu.cli.train import wds_batches
+
+            real_gen = iter(wds_batches(cfg, model))
+
+    # latent decode for pixel-space metrics / PNGs (sample_acc.py:365)
+    codec = None
+    if cfg.get("decode_latents"):
+        from zigma_tpu.data import get_codec
+
+        codec = get_codec(cfg.get("vae_kind", "auto"))
 
     made = 0
     it = 0
     while made < num:
-        rng, kz, ks = jax.random.split(rng, 3)
+        rng, kz, ks, ky = jax.random.split(rng, 4)
         z = jax.random.normal(kz, shape)
+        y = None
+        if cfg.data.get("num_classes", -1) > 0:  # random classes, like
+            y = jax.random.randint(               # the ref's caption picks
+                ky, (bs,), 0, int(cfg.data["num_classes"]))
         if kind == "ode":
-            samples = gen_ode(params, z)
+            samples = gen_ode(params, z, y)
         elif kind == "sde":
-            samples = gen_sde(params, ks, z)
+            samples = gen_sde(params, ks, z, y)
         else:
-            logp, samples = gen_lik(params, ks, z)
+            logp, samples = gen_lik(params, ks, z, y)
             logger.info("mean logp: %.2f", float(jnp.mean(logp)))
         if latent_scale:
             samples = samples / latent_scale
         arr = np.asarray(jax.device_get(samples), np.float32)
+        if codec is not None:
+            arr = codec.decode(arr)
+        if metric is not None:
+            metric.update_fake(arr)
+            if real_gen is not None:
+                real = np.asarray(next(real_gen)["x"])[:bs]
+                if codec is not None:
+                    real = codec.decode(real)
+                metric.update_real(real)
         if arr.ndim == 5:
             np.save(os.path.join(out_dir, f"video_{it}_{rank}.npy"), arr)
         else:
-            arr = np.clip((arr + 1) / 2, 0, 1)
-            for i, img in enumerate(arr):
+            png = np.clip((arr + 1) / 2, 0, 1)
+            for i, img in enumerate(png):
                 idx = it * bs * world + rank * bs + i  # sample_acc.py:388-392
                 im = (np.transpose(img[:3], (1, 2, 0)) * 255).astype(np.uint8)
                 Image.fromarray(im).save(
@@ -155,6 +204,14 @@ def main(argv=None):
         made += bs
         it += 1
         logger.info("generated %d/%d", made, num)
+
+    if metric is not None and real_gen is not None:
+        scores = metric.compute()
+        logger.info("metrics: %s", scores)
+        import json
+
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(scores, f)
     logger.info("samples written to %s", out_dir)
     return out_dir
 
