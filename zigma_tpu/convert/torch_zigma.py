@@ -18,7 +18,7 @@ Layout rules (the FID-within-1% risk surface, SURVEY.md §7.3 item 2):
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

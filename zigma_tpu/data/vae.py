@@ -16,7 +16,6 @@ rebuild keeps that contract behind ``LatentCodec``:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

@@ -7,7 +7,7 @@ TPU-native rebuild of the reference embedding layers
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -39,7 +39,6 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from zigma_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from zigma_tpu.ops.selective_scan import selective_scan, selective_state_update

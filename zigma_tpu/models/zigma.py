@@ -24,7 +24,7 @@ Reference quirks intentionally handled differently (SURVEY.md §7.4):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

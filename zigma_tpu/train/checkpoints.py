@@ -15,10 +15,9 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint"]
 

@@ -16,8 +16,6 @@ TPU-native rebuild of the reference training loop internals
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
