@@ -84,3 +84,41 @@ def test_grad_matches_ref():
         np.testing.assert_allclose(
             np.asarray(gp), np.asarray(gr), rtol=2e-3, atol=2e-3,
             err_msg=f"grad mismatch: {n}")
+
+
+def test_fused_gate_parity():
+    """fuse_gate=True (in-kernel D-skip + z-gate) matches the composed path."""
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(6))
+    z = jax.random.normal(jax.random.PRNGKey(7), u.shape)
+    bias = jnp.full((u.shape[-1],), 0.1, jnp.float32)
+    y0 = selective_scan_pallas(u, delta, A, B, C, Dskip, z=z,
+                               delta_bias=bias, delta_softplus=True)
+    y1 = selective_scan_pallas(u, delta, A, B, C, Dskip, z=z,
+                               delta_bias=bias, delta_softplus=True,
+                               fuse_gate=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-3, atol=6e-4)
+
+
+def test_fused_gate_grads():
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(8),
+                                            batch=1, L=128, D=128)
+    z = jax.random.normal(jax.random.PRNGKey(9), u.shape)
+    bias = jnp.full((u.shape[-1],), 0.05, jnp.float32)
+
+    def loss(fuse):
+        def f(u, delta, A, B, C, Dskip, z):
+            y = selective_scan_pallas(u, delta, A, B, C, Dskip, z=z,
+                                      delta_bias=bias, delta_softplus=True,
+                                      fuse_gate=fuse)
+            return jnp.sum(y * jnp.cos(y))
+        return f
+
+    g0 = jax.grad(loss(False), argnums=tuple(range(7)))(u, delta, A, B, C,
+                                                        Dskip, z)
+    g1 = jax.grad(loss(True), argnums=tuple(range(7)))(u, delta, A, B, C,
+                                                       Dskip, z)
+    for n, a, b in zip("u delta A B C D z".split(), g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"grad {n}")

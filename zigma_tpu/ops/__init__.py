@@ -16,6 +16,10 @@ from zigma_tpu.ops.causal_conv1d import (
     causal_conv1d_update,
 )
 from zigma_tpu.ops.norms import rms_norm, layer_norm, add_norm
+from zigma_tpu.ops.scan_pallas import (
+    scan_core_pallas,
+    selective_scan_pallas,
+)
 
 __all__ = [
     "zigzag_path",
@@ -32,4 +36,6 @@ __all__ = [
     "rms_norm",
     "layer_norm",
     "add_norm",
+    "scan_core_pallas",
+    "selective_scan_pallas",
 ]

@@ -49,10 +49,10 @@ __all__ = ["selective_scan_pallas", "scan_core_pallas"]
 
 
 def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
-                 x0_ref,                                         # inputs
+                 x0_ref, D_ref, z_ref,                           # inputs
                  y_ref, carry_ref, xlast_ref,                    # outputs
                  state_ref, decay_s, w_s, xs_s,                  # scratch
-                 *, softplus: bool, group: int):
+                 *, softplus: bool, group: int, fuse_gate: bool):
     """One (batch, d-block, chunk) grid step.
 
     Block shapes:
@@ -71,6 +71,10 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
                      VMEM-bandwidth-bound, halving operand bytes ~doubles
                      throughput; the state itself stays fp32)
       xs_s:          (BL, N, BD) per-step states for the bulk C-contraction
+      D_ref, z_ref:  (1, BD) / (1, BL, BD) — with ``fuse_gate`` the epilogue
+                     computes ``(y + u*D) * silu(z)`` in-kernel, saving the
+                     HBM roundtrip of the raw scan output (~100 MB/layer on
+                     the flagship); dummies otherwise
 
     The recurrence loop is grouped: one leading-dim load of ``group`` steps
     amortizes VMEM load latency (measured ~95 ns/step for per-step loads vs
@@ -124,6 +128,10 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
     # bulk output contraction: y(t, d) = sum_n C(t, n) * x(t, n, d)
     y = jnp.sum(xs_s[...].astype(jnp.float32) * Cv.astype(jnp.float32),
                 axis=1)                                        # (BL, BD)
+    if fuse_gate:
+        y = y + u * D_ref[0][None, :]
+        z = z_ref[0].astype(jnp.float32)
+        y = y * (z * jax.nn.sigmoid(z))
     y_ref[0] = y.astype(y_ref.dtype)
 
 
@@ -139,7 +147,8 @@ def _blocks(L, D, block_l, block_d, group):
 
 @functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
                                              "group", "interpret"))
-def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None, *,
+def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
+                         Dskip=None, z=None, *,
                          softplus: bool = True, block_l: int = 128,
                          block_d: int = 512, group: int = 8,
                          interpret: bool = False):
@@ -147,6 +156,8 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None, *,
 
     u, delta: (B, L, D); delta_bias: (D,) fp32; A: (D, N) fp32;
     Bv, Cv: (B, L, N); x0: optional (B, N, D) fp32 initial state.
+    Dskip (D,) + z (B, L, D) together enable the fused gate epilogue
+    ``(y + u*D) * silu(z)``.
     carries: (B, n_chunks, N, D) fp32 chunk-START states;
     x_last: (B, N, D) fp32 final state.
     """
@@ -161,11 +172,17 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None, *,
     cdtype = u.dtype if u.dtype == jnp.bfloat16 else jnp.float32
     if x0 is None:
         x0 = jnp.zeros((batch, N, D), jnp.float32)
+    fuse_gate = Dskip is not None and z is not None
+    if not fuse_gate:
+        Dskip = jnp.zeros((D,), jnp.float32)
+        z = jnp.zeros((batch, 8, D), u.dtype)  # dummy, minimal stream
+    BLz = BL if fuse_gate else 8
 
     grid = (batch, D // BD, n_chunks)
 
     return pl.pallas_call(
-        functools.partial(_scan_kernel, softplus=softplus, group=group),
+        functools.partial(_scan_kernel, softplus=softplus, group=group,
+                          fuse_gate=fuse_gate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
@@ -175,6 +192,10 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None, *,
             pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, k, 0, 0)),
             pl.BlockSpec((1, BL, N, 1), lambda b, j, k: (b, k, 0, 0)),
             pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
+            pl.BlockSpec((1, BD), lambda b, j, k: (0, j)),
+            pl.BlockSpec((1, BLz, BD),
+                         (lambda b, j, k: (b, k, j)) if fuse_gate
+                         else (lambda b, j, k: (b, 0, j))),
         ],
         out_specs=(
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
@@ -199,7 +220,8 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None, *,
                             + 2 * batch * L * N * 4),
             transcendentals=batch * L * D * N,
         ),
-    )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4, x0)
+    )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4, x0,
+      jnp.asarray(Dskip, jnp.float32)[None], z)
 
 
 def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, **kw):
@@ -213,11 +235,11 @@ def scan_core_pallas(u, delta, delta_bias, A, Bv, Cv, **kw):
 
 
 def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
-                     carry_ref, gy_ref, glast_ref,               # inputs
+                     carry_ref, gy_ref, glast_ref, D_ref, z_ref,  # inputs
                      du_ref, dd_ref, dBp_ref, dCp_ref, dAp_ref,
-                     dx0_ref,                                    # outputs
+                     dx0_ref, dz_ref, dDp_ref,                   # outputs
                      gcarry_s, decay_s, w_s, xs_s, gs_s,         # scratch
-                     *, softplus: bool):
+                     *, softplus: bool, fuse_gate: bool):
     """Reverse grid step: chunk kk = n_chunks-1-k (via index maps).
 
     Recomputes in-chunk states from the saved chunk-start carry, runs the
@@ -235,6 +257,8 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
         # caller consumed x_last, e.g. sequence-parallel / prefill)
         gcarry_s[...] = glast_ref[0]
         dAp_ref[0] = jnp.zeros_like(dAp_ref[0])
+        if fuse_gate:
+            dDp_ref[...] = jnp.zeros_like(dDp_ref[...])
 
     u = u_ref[0].astype(jnp.float32)                       # (BL, BD)
     dt_pre = dt_ref[0].astype(jnp.float32) + bias_ref[0][None, :]
@@ -248,6 +272,12 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
     Bv = B_ref[0, :, :, 0][..., None]                       # (BL, N, 1)
     Cv = C_ref[0, :, :, 0][..., None]
     gy = gy_ref[0].astype(jnp.float32)                      # (BL, BD)
+    if fuse_gate:
+        z = z_ref[0].astype(jnp.float32)
+        sig_z = jax.nn.sigmoid(z)
+        silu_z = z * sig_z
+        g_out = gy
+        gy = g_out * silu_z  # cotangent of the raw scan output
     cdtype = decay_s.dtype
     dtu = dt * u
 
@@ -283,7 +313,17 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
     gB = jnp.sum(gs * Bv.astype(jnp.float32), axis=1)       # (BL, BD)
     dd = jnp.sum(dla * A[None], axis=1) + gB * u
     dd_ref[0] = (dd * sig).astype(dd_ref.dtype)             # softplus bwd
-    du_ref[0] = (dt * gB).astype(du_ref.dtype)
+    du = dt * gB
+    if fuse_gate:
+        Dp = D_ref[0][None, :]                              # (1, BD)
+        du = du + gy * Dp                                   # through u*D
+        # dz/dD need the raw scan output: recompute y = sum_n C * x (bulk)
+        y = jnp.sum(Cv.astype(jnp.float32) * xs, axis=1)    # (BL, BD)
+        out_pre = y + u * Dp
+        dz_ref[0] = (g_out * out_pre
+                     * (sig_z * (1.0 + z * (1.0 - sig_z)))).astype(dz_ref.dtype)
+        dDp_ref[...] = dDp_ref[...] + jnp.sum(gy * u, axis=0, keepdims=True)
+    du_ref[0] = du.astype(du_ref.dtype)
     dBp_ref[0, 0] = jnp.sum(gs * dtu[:, None, :], axis=2).astype(dBp_ref.dtype)
     dCp_ref[0, 0] = jnp.sum(gy[:, None, :] * xs, axis=2).astype(dCp_ref.dtype)
     dAp_ref[0] = dAp_ref[0] + jnp.sum(dla * dt[:, None, :], axis=0)
@@ -295,12 +335,15 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
 @functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
                                              "interpret"))
 def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
-                         g_last=None, *,
+                         g_last=None, Dskip=None, z=None, *,
                          softplus: bool = True, block_l: int = 128,
                          block_d: int = 256, interpret: bool = False):
-    """Backward kernel: cotangents (du, ddelta, dA, dB, dC, dbias, dx0).
+    """Backward kernel: cotangents
+    (du, ddelta, dA, dB, dC, dbias, dx0[, dz, dD]).
 
-    g_last: optional (B, N, D) cotangent w.r.t. the final state."""
+    g_last: optional (B, N, D) cotangent w.r.t. the final state.
+    Dskip + z: fused-gate mode — gy is then the cotangent of the GATED
+    output and dz/dD are also returned."""
     batch, L, D = u.shape
     N = A.shape[1]
     BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group=8)
@@ -312,12 +355,20 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
     cdtype = u.dtype if u.dtype == jnp.bfloat16 else jnp.float32
     if g_last is None:
         g_last = jnp.zeros((batch, N, D), jnp.float32)
+    fuse_gate = Dskip is not None and z is not None
+    if not fuse_gate:
+        Dskip = jnp.zeros((D,), jnp.float32)
+        z = jnp.zeros((batch, 8, D), u.dtype)
+    BLz = BL if fuse_gate else 8
+    z_map = ((lambda b, j, k: (b, nc - 1 - k, j)) if fuse_gate
+             else (lambda b, j, k: (b, 0, j)))
 
     grid = (batch, nD, n_chunks)
     nc = n_chunks  # reverse chunk order via index maps
 
-    du, dd, dBp, dCp, dAp, dx0 = pl.pallas_call(
-        functools.partial(_scan_bwd_kernel, softplus=softplus),
+    du, dd, dBp, dCp, dAp, dx0, dz, dDp = pl.pallas_call(
+        functools.partial(_scan_bwd_kernel, softplus=softplus,
+                          fuse_gate=fuse_gate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
@@ -329,6 +380,8 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             pl.BlockSpec((1, 1, N, BD), lambda b, j, k: (b, nc - 1 - k, 0, j)),
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
             pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
+            pl.BlockSpec((1, BD), lambda b, j, k: (0, j)),
+            pl.BlockSpec((1, BLz, BD), z_map),
         ],
         out_specs=(
             pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
@@ -337,6 +390,8 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             pl.BlockSpec((1, 1, BL, N), lambda b, j, k: (b, j, nc - 1 - k, 0)),
             pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
             pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
+            pl.BlockSpec((1, BLz, BD), z_map),
+            pl.BlockSpec((1, BD), lambda b, j, k: (b, j)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, L, D), u.dtype),
@@ -345,6 +400,9 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             jax.ShapeDtypeStruct((batch, nD, L, N), jnp.float32),
             jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
             jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
+            jax.ShapeDtypeStruct((batch, L if fuse_gate else 8, D),
+                                 u.dtype),
+            jax.ShapeDtypeStruct((batch, D), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((N, BD), jnp.float32),
@@ -360,12 +418,15 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             transcendentals=batch * L * D * N,
         ),
     )(u, delta, delta_bias[None].astype(jnp.float32), At, B4, C4, carries,
-      gy, g_last)
+      gy, g_last, jnp.asarray(Dskip, jnp.float32)[None], z)
 
     dB = jnp.sum(dBp, axis=1).astype(Bv.dtype)          # (B, L, N)
     dC = jnp.sum(dCp, axis=1).astype(Cv.dtype)
     dA = jnp.sum(dAp, axis=0).T                          # (D, N) fp32
     dbias = jnp.sum(dd.astype(jnp.float32), axis=(0, 1))
+    if fuse_gate:
+        dD = jnp.sum(dDp, axis=0)                        # (D,) fp32
+        return du, dd, dA, dB, dC, dbias, dx0, dz, dD
     return du, dd, dA, dB, dC, dbias, dx0
 
 
@@ -466,10 +527,43 @@ def _core_full_bwd(cfg, res, g):
 _core_full.defvjp(_core_full_fwd, _core_full_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(cfg, u, delta, A, Bv, Cv, delta_bias, Dskip, z):
+    """Fully fused hot path: out = (scan(u, ...) + u*D) * silu(z) with the
+    gate epilogue inside the kernel (saves the raw-y HBM roundtrip)."""
+    softplus, interpret = cfg
+    out, _, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
+                                     None, Dskip, z,
+                                     softplus=softplus, interpret=interpret)
+    return out
+
+
+def _fused_fwd(cfg, u, delta, A, Bv, Cv, delta_bias, Dskip, z):
+    softplus, interpret = cfg
+    out, carries, _ = scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv,
+                                           None, Dskip, z,
+                                           softplus=softplus,
+                                           interpret=interpret)
+    return out, (u, delta, A, Bv, Cv, delta_bias, Dskip, z, carries)
+
+
+def _fused_bwd(cfg, res, g):
+    softplus, interpret = cfg
+    u, delta, A, Bv, Cv, delta_bias, Dskip, z, carries = res
+    du, dd, dA, dB, dC, dbias, _, dz, dD = scan_core_bwd_pallas(
+        u, delta, delta_bias, A, Bv, Cv, carries, g, None, Dskip, z,
+        softplus=softplus, interpret=interpret)
+    return du, dd, dA, dB, dC, dbias, dD, dz
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                           delta_softplus: bool = False,
                           return_last_state: bool = False,
-                          interpret: Optional[bool] = None):
+                          interpret: Optional[bool] = None,
+                          fuse_gate: bool = False):
     """Drop-in pallas backend for ``selective_scan`` (variable B/C only —
     the ZigMa hot path).  See selective_scan.py for argument semantics."""
     if B.ndim != 3 or C.ndim != 3:
@@ -484,6 +578,13 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     bias = (delta_bias if delta_bias is not None
             else jnp.zeros((d_inner,), jnp.float32))
     cfg = (bool(delta_softplus), bool(interpret))
+    if fuse_gate and D is not None and z is not None:
+        # gate epilogue inside the kernel.  Saves the raw-y HBM roundtrip
+        # but measured SLOWER on v5e for the flagship shape (3.36 vs 3.93
+        # img/s end to end): the extra z/D streams stall the kernel's DMA
+        # pipeline more than the roundtrip costs.  Kept for shapes where
+        # the tradeoff flips (longer L, narrower D); off by default.
+        return _fused(cfg, u, delta, A, B, C, bias, D, z)
     y = _core(cfg, u, delta, A, B, C, bias).astype(jnp.float32)
     if D is not None:
         y = y + u.astype(jnp.float32) * D
