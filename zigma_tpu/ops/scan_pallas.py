@@ -322,7 +322,7 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, B_ref, C_ref,
         out_pre = y + u * Dp
         dz_ref[0] = (g_out * out_pre
                      * (sig_z * (1.0 + z * (1.0 - sig_z)))).astype(dz_ref.dtype)
-        dDp_ref[...] = dDp_ref[...] + jnp.sum(gy * u, axis=0, keepdims=True)
+        dDp_ref[0] = dDp_ref[0] + jnp.sum(gy * u, axis=0, keepdims=True)
     du_ref[0] = du.astype(du_ref.dtype)
     dBp_ref[0, 0] = jnp.sum(gs * dtu[:, None, :], axis=2).astype(dBp_ref.dtype)
     dCp_ref[0, 0] = jnp.sum(gy[:, None, :] * xs, axis=2).astype(dCp_ref.dtype)
@@ -391,7 +391,7 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
             pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
             pl.BlockSpec((1, BLz, BD), z_map),
-            pl.BlockSpec((1, BD), lambda b, j, k: (b, j)),
+            pl.BlockSpec((1, 1, BD), lambda b, j, k: (b, 0, j)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, L, D), u.dtype),
@@ -402,7 +402,7 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
             jax.ShapeDtypeStruct((batch, L if fuse_gate else 8, D),
                                  u.dtype),
-            jax.ShapeDtypeStruct((batch, D), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, D), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((N, BD), jnp.float32),
@@ -425,7 +425,7 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
     dA = jnp.sum(dAp, axis=0).T                          # (D, N) fp32
     dbias = jnp.sum(dd.astype(jnp.float32), axis=(0, 1))
     if fuse_gate:
-        dD = jnp.sum(dDp, axis=0)                        # (D,) fp32
+        dD = jnp.sum(dDp, axis=(0, 1))                   # (D,) fp32
         return du, dd, dA, dB, dC, dbias, dx0, dz, dD
     return du, dd, dA, dB, dC, dbias, dx0
 
