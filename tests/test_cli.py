@@ -137,3 +137,22 @@ class TestSampleCLI:
         ])
         pngs = [f for f in os.listdir(sample_dir) if f.endswith(".png")]
         assert len(pngs) == 4
+
+    def test_sample_likelihood(self, tmp_path):
+        from zigma_tpu.cli.train import main as train_main
+        from zigma_tpu.cli.sample import main as sample_main
+
+        out = str(tmp_path / "out")
+        train_main(TINY + [f"results_dir={out}", "data.train_steps=2"])
+        run = os.listdir(out)[0]
+        ckpt_dir = os.path.join(out, run, "checkpoints")
+        ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+        sample_dir = sample_main(TINY + [
+            f"results_dir={out}", f"ckpt={ckpt}",
+            f"sample_dir={tmp_path / 'samples_lik'}",
+            "sample_mode=ODE", "likelihood=true",
+            "ode.sampling_method=euler", "ode.num_sampling_steps=5",
+            "num_fid_samples=4", "offline_sample_local_bs=4",
+        ])
+        assert len([f for f in os.listdir(sample_dir)
+                    if f.endswith(".png")]) == 4
