@@ -79,14 +79,14 @@ def create_train_step(
     decided by the arrays' placements (shard_batch for DP).
     Returns step_fn(state, rng, batch) -> (state, metrics).
 
-    ``donate`` defaults to True on accelerators (state buffers are reused
-    in-place, halving peak param memory) but False on the CPU backend:
-    XLA:CPU's in-process collectives deadlock when donation is combined
-    with >1 virtual device on few host cores (observed on the 8-device
-    fake mesh; grads-only and non-donating steps run fine).
+    ``donate`` reuses the state buffers in-place (halving peak param
+    memory) but defaults OFF: XLA:CPU's in-process collectives deadlock
+    under donation on few-core hosts (8-device fake mesh), and the
+    axon-relayed TPU backend fails donated executions at runtime with
+    INVALID_ARGUMENT.  Enable explicitly on standard TPU runtimes.
     """
     if donate is None:
-        donate = jax.default_backend() != "cpu"
+        donate = False
 
     def step_fn(state: TrainState, rng, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
