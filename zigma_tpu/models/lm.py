@@ -202,7 +202,8 @@ def generate(model: MambaLMHeadModel, params, prompt_ids, max_new_tokens: int,
         return (caches, logits[:, 0]), None
 
     (caches, last_logits), _ = jax.lax.scan(
-        prefill_body, (caches, jnp.zeros((B, model.padded_vocab))),
+        prefill_body,
+        (caches, jnp.zeros((B, model.padded_vocab), model.dtype)),
         jnp.moveaxis(prompt_ids, 1, 0))
 
     def select(logits, key):
