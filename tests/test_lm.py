@@ -103,3 +103,28 @@ class TestCFG:
         # channels >= cfg_channels are the raw conditional output
         np.testing.assert_allclose(np.asarray(guided[:, 3:]),
                                    np.asarray(cond[:, 3:]), atol=1e-5)
+
+
+class TestPrefill:
+    def test_prefill_cache_matches_steps(self):
+        """Parallel-scan prefill produces the same cache and logits as
+        stepping through the prompt token by token."""
+        m = _lm()
+        ids = jnp.array([[5, 3, 8, 1, 9, 2, 7, 4]])
+        params = m.init(jax.random.PRNGKey(0), ids)
+
+        logits_p, caches_p = m.apply(params, ids,
+                                     method=MambaLMHeadModel.prefill)
+
+        caches_s = m.init_caches(1)
+        for i in range(ids.shape[1]):
+            logits_s, caches_s = m.apply(params, ids[:, i : i + 1], caches_s,
+                                         method=MambaLMHeadModel.step)
+        np.testing.assert_allclose(np.asarray(logits_p),
+                                   np.asarray(logits_s[:, 0]),
+                                   atol=2e-4, rtol=1e-3)
+        for (cp, sp), (cs, ss) in zip(caches_p, caches_s):
+            np.testing.assert_allclose(np.asarray(cp), np.asarray(cs),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(sp), np.asarray(ss),
+                                       atol=1e-4, rtol=1e-3)

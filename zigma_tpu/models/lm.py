@@ -77,6 +77,11 @@ class _LMBlock(nn.Module):
         out, cache = self.mixer.step(x, cache)
         return out, residual, cache
 
+    def prefill(self, x, residual):
+        x, residual = self._prenorm(x, residual)
+        out, cache = self.mixer.prefill(x)
+        return out, residual, cache
+
 
 class MixerModel(nn.Module):
     """Embedding + Mamba blocks + final norm (mixer_seq_simple.py:83-170)."""
@@ -131,6 +136,16 @@ class MixerModel(nn.Module):
             new_caches.append(cache)
         return self._final_norm(h, residual), tuple(new_caches)
 
+    def prefill(self, input_ids):
+        """Parallel prompt pass returning (hidden (B, L, D), caches)."""
+        h = self.embedding(input_ids).astype(self.dtype)
+        residual = None
+        caches = []
+        for layer in self.layers:
+            h, residual, cache = layer.prefill(h, residual)
+            caches.append(cache)
+        return self._final_norm(h, residual), tuple(caches)
+
 
 class MambaLMHeadModel(nn.Module):
     """MixerModel + tied LM head (mixer_seq_simple.py:173-227)."""
@@ -171,6 +186,11 @@ class MambaLMHeadModel(nn.Module):
         h, caches = self.backbone.step(token_ids, caches)
         return self._logits(h), caches
 
+    def prefill(self, input_ids):
+        """(last-position logits (B, V), caches) via the parallel scan."""
+        h, caches = self.backbone.prefill(input_ids)
+        return self._logits(h[:, -1]), caches
+
     def init_caches(self, batch: int):
         cfg = self.ssm_cfg or {}
         d_inner = 2 * self.d_model * 1  # expand defaults to 2
@@ -183,28 +203,16 @@ class MambaLMHeadModel(nn.Module):
 
 def generate(model: MambaLMHeadModel, params, prompt_ids, max_new_tokens: int,
              rng=None, temperature: float = 1.0, top_k: int = 0):
-    """Autoregressive decode: prefill (parallel scan seeds the caches, token
-    by token via step for exactness) then a ``lax.scan`` decode loop.
+    """Autoregressive decode: parallel-scan prefill seeds the caches, then a
+    ``lax.scan`` decode loop (the compiled analogue of the reference's
+    CUDA-graph decode, generation.py:93-377).
 
     prompt_ids: (B, L0) int32.  Returns (B, L0 + max_new_tokens).
-    Greedy when rng is None, else temperature/top-k sampling
-    (generation.py:93-140 semantics).
+    Greedy when rng is None, else temperature/top-k sampling.
     """
     B, L0 = prompt_ids.shape
-    caches = model.init_caches(B)
-
-    # prefill through step() so caches are exact (reference decode does the
-    # same one-token-at-a-time replay without the fused path)
-    def prefill_body(carry, tok):
-        caches, _ = carry
-        logits, caches = model.apply(params, tok[:, None], caches,
-                                     method=MambaLMHeadModel.step)
-        return (caches, logits[:, 0]), None
-
-    (caches, last_logits), _ = jax.lax.scan(
-        prefill_body,
-        (caches, jnp.zeros((B, model.padded_vocab), model.dtype)),
-        jnp.moveaxis(prompt_ids, 1, 0))
+    last_logits, caches = model.apply(params, prompt_ids,
+                                      method=MambaLMHeadModel.prefill)
 
     def select(logits, key):
         logits = logits / jnp.maximum(temperature, 1e-6)

@@ -201,6 +201,31 @@ class _ScanBranch(nn.Module):
             dt_bias=self.dt_bias, dt_softplus=True)
         return y, (conv_state, ssm_state)
 
+    def prefill(self, x_in, z):
+        """Parallel-scan prefill: output for the whole prompt PLUS the decode
+        cache — O(L) parallel work instead of L sequential step() calls (the
+        reference replays tokens one at a time, generation.py:93-140).
+
+        Returns (y (B, L, d_inner), (conv_state, ssm_state)).
+        """
+        B_ = x_in.shape[0]
+        x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b,
+                            activation="silu")
+        x_dbl = x_c @ self.x_proj_kernel.astype(self.dtype)
+        dt, Bv, Cv = jnp.split(
+            x_dbl, [self.dt_rank, self.dt_rank + self.d_state], axis=-1)
+        delta = dt @ self.dt_kernel.astype(self.dtype)
+        A = -jnp.exp(self.A_log)
+        y, ssm_state = selective_scan(
+            x_c, delta, A, Bv, Cv, self.D, z=z,
+            delta_bias=self.dt_bias, delta_softplus=True,
+            return_last_state=True,
+            backend=self.scan_backend, chunk=self.scan_chunk)
+        # rolling conv window = last d_conv pre-conv inputs (right-aligned)
+        pad = jnp.zeros((B_, self.d_conv, self.d_inner), x_in.dtype)
+        conv_state = jnp.concatenate([pad, x_in], axis=1)[:, -self.d_conv:]
+        return y, (conv_state, ssm_state)
+
 
 class Mamba(nn.Module):
     """Selective-SSM token mixer with scan-type dispatch.
@@ -337,3 +362,13 @@ class Mamba(nn.Module):
         x_in, z = jnp.split(xz, 2, axis=-1)
         y, cache = self.fwd.step(x_in, z, cache)
         return self.out_proj(y)[:, None], cache
+
+    def prefill(self, x):
+        """Parallel prompt processing: (out (B, L, d_model), decode cache).
+
+        One O(L)-parallel scan instead of L sequential ``step`` calls
+        (the reference replays tokens one by one, generation.py:93-140)."""
+        xz = self.in_proj(x)
+        x_in, z = jnp.split(xz, 2, axis=-1)
+        y, cache = self.fwd.prefill(x_in, z)
+        return self.out_proj(y), cache

@@ -567,26 +567,32 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     the ZigMa hot path).  See selective_scan.py for argument semantics."""
     if B.ndim != 3 or C.ndim != 3:
         raise ValueError("pallas backend requires variable B/C (B, L, N)")
-    if return_last_state:
-        raise NotImplementedError(
-            "pallas backend is for training/sampling; decode prefill uses "
-            "the chunked backend")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     d_inner = u.shape[-1]
     bias = (delta_bias if delta_bias is not None
             else jnp.zeros((d_inner,), jnp.float32))
     cfg = (bool(delta_softplus), bool(interpret))
-    if fuse_gate and D is not None and z is not None:
+    if fuse_gate and D is not None and z is not None and not return_last_state:
         # gate epilogue inside the kernel.  Saves the raw-y HBM roundtrip
         # but measured SLOWER on v5e for the flagship shape (3.36 vs 3.93
         # img/s end to end): the extra z/D streams stall the kernel's DMA
         # pipeline more than the roundtrip costs.  Kept for shapes where
         # the tradeoff flips (longer L, narrower D); off by default.
         return _fused(cfg, u, delta, A, B, C, bias, D, z)
-    y = _core(cfg, u, delta, A, B, C, bias).astype(jnp.float32)
+    if return_last_state:
+        batch, _, _ = u.shape
+        x0 = jnp.zeros((batch, A.shape[1], d_inner), jnp.float32)
+        y, x_last = _core_full(cfg, u, delta, A, B, C, bias, x0)
+        y = y.astype(jnp.float32)
+    else:
+        y = _core(cfg, u, delta, A, B, C, bias).astype(jnp.float32)
     if D is not None:
         y = y + u.astype(jnp.float32) * D
     if z is not None:
         y = y * jax.nn.silu(z.astype(jnp.float32))
-    return y.astype(u.dtype)
+    out = y.astype(u.dtype)
+    if return_last_state:
+        # (B, N, D) -> the reference's (B, D, N) state layout
+        return out, jnp.swapaxes(x_last, 1, 2)
+    return out

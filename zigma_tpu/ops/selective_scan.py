@@ -459,7 +459,7 @@ def selective_scan(
         variable_bc = B.ndim == 3 and C.ndim == 3
         L_ = u.shape[1]
         pallas_ok = (L_ % 128 == 0) or (L_ < 128 and L_ % 8 == 0)
-        if (variable_bc and not return_last_state and pallas_ok
+        if (variable_bc and pallas_ok
                 and jax.default_backend() == "tpu"):
             backend = "pallas"
         else:
