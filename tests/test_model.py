@@ -174,3 +174,39 @@ class TestZigMa:
         np.testing.assert_allclose(
             np.asarray(m1.apply(params, x, t)),
             np.asarray(m2.apply(params, x, t)), atol=1e-6)
+
+
+class TestParallelN:
+    def test_parallel_branches_scan_distinct_paths(self):
+        """parallelN layers must have NO outer per-layer permutation; each
+        branch scans its own zigzag path (regression for the composed-
+        permutation bug)."""
+        from zigma_tpu.ops.paths import build_layer_paths
+
+        paths, paths_rev, st = build_layer_paths("parallelN4", 3, 4)
+        assert paths == [None] * 3 and paths_rev == [None] * 3
+
+        m = ZigMa(in_channels=4, embed_dim=32, depth=2, img_dim=8,
+                  patch_size=2, scan_type="parallelN2", scan_backend="ref")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.zeros((2,))
+        params = m.init(jax.random.PRNGKey(1), x, t)
+        assert "scan_b0" in params["params"]["blocks_0"]["mixer"]
+        assert "scan_b1" in params["params"]["blocks_0"]["mixer"]
+        out = m.apply(params, x, t)
+        assert jnp.isfinite(out).all()
+
+    def test_parallel_without_perms_raises(self):
+        m = Mamba(d_model=32, scan_type="parallelN2", scan_backend="ref")
+        x = jnp.zeros((1, 16, 32))
+        with pytest.raises(ValueError, match="parallel_perms"):
+            m.init(jax.random.PRNGKey(0), x)
+
+    def test_prefill_non_v1_raises(self):
+        from zigma_tpu.models import MambaCache
+
+        m = Mamba(d_model=32, scan_type="v2", scan_backend="ref")
+        x = jnp.zeros((1, 8, 32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        with pytest.raises(ValueError, match="v1"):
+            m.apply(params, x, method=Mamba.prefill)

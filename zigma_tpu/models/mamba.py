@@ -173,14 +173,19 @@ class _ScanBranch(nn.Module):
                                 (self.d_inner, self.d_state), jnp.float32)
         self.D = self.param("D", nn.initializers.ones, (self.d_inner,), jnp.float32)
 
-    def __call__(self, x_in, z):
-        """x_in, z: (B, L, d_inner) -> gated scan output (B, L, d_inner)."""
-        x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b, activation="silu")
+    def _features(self, x_c):
+        """x_proj -> (delta_wo_bias, Bv, Cv) and A, shared by every mode."""
         x_dbl = x_c @ self.x_proj_kernel.astype(self.dtype)
         dt, Bv, Cv = jnp.split(
             x_dbl, [self.dt_rank, self.dt_rank + self.d_state], axis=-1)
-        delta = dt @ self.dt_kernel.astype(self.dtype)  # bias added in the scan
+        delta = dt @ self.dt_kernel.astype(self.dtype)  # bias added in scan
         A = -jnp.exp(self.A_log)  # fp32
+        return delta, Bv, Cv, A
+
+    def __call__(self, x_in, z):
+        """x_in, z: (B, L, d_inner) -> gated scan output (B, L, d_inner)."""
+        x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b, activation="silu")
+        delta, Bv, Cv, A = self._features(x_c)
         return selective_scan(
             x_c, delta, A, Bv, Cv, self.D, z=z,
             delta_bias=self.dt_bias, delta_softplus=True,
@@ -191,11 +196,7 @@ class _ScanBranch(nn.Module):
         conv_state, ssm_state = cache
         x_c, conv_state = causal_conv1d_update(
             x, conv_state, self.conv_weight, self.conv_b)
-        x_dbl = x_c @ self.x_proj_kernel.astype(self.dtype)
-        dt, Bv, Cv = jnp.split(
-            x_dbl, [self.dt_rank, self.dt_rank + self.d_state], axis=-1)
-        delta = dt @ self.dt_kernel.astype(self.dtype)
-        A = -jnp.exp(self.A_log)
+        delta, Bv, Cv, A = self._features(x_c)
         y, ssm_state = selective_state_update(
             ssm_state, x_c, delta, A, Bv, Cv, self.D, z=z,
             dt_bias=self.dt_bias, dt_softplus=True)
@@ -211,11 +212,7 @@ class _ScanBranch(nn.Module):
         B_ = x_in.shape[0]
         x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b,
                             activation="silu")
-        x_dbl = x_c @ self.x_proj_kernel.astype(self.dtype)
-        dt, Bv, Cv = jnp.split(
-            x_dbl, [self.dt_rank, self.dt_rank + self.d_state], axis=-1)
-        delta = dt @ self.dt_kernel.astype(self.dtype)
-        A = -jnp.exp(self.A_log)
+        delta, Bv, Cv, A = self._features(x_c)
         y, ssm_state = selective_scan(
             x_c, delta, A, Bv, Cv, self.D, z=z,
             delta_bias=self.dt_bias, delta_softplus=True,
@@ -282,7 +279,17 @@ class Mamba(nn.Module):
         if self.scan_type == "v2":
             self.bwd = _ScanBranch(**branch_cfg, name="scan_b")
         elif self.scan_type.startswith("parallelN"):
-            n = int(self.scan_type[len("parallelN"):])
+            try:
+                n = int(self.scan_type[len("parallelN"):])
+            except ValueError as e:
+                raise ValueError(
+                    f"scan_type {self.scan_type!r} needs a branch count, "
+                    f"e.g. 'parallelN4'") from e
+            if self.parallel_perms is None or len(self.parallel_perms) != n:
+                raise ValueError(
+                    f"scan_type {self.scan_type!r} requires parallel_perms "
+                    f"with {n} (perm, perm_rev) pairs, got "
+                    f"{None if self.parallel_perms is None else len(self.parallel_perms)}")
             self.parallel = [
                 _ScanBranch(**branch_cfg, name=f"scan_b{i}") for i in range(n)
             ]
@@ -307,6 +314,11 @@ class Mamba(nn.Module):
         # ---- factorized video fold (mamba_simple.py:396-442) -------------
         video = self.scan_type.startswith(("video_", "zzvideo_"))
         if video:
+            if self.st not in ("s", "t"):
+                raise ValueError(
+                    f"video scan_type {self.scan_type!r} requires st='s' or "
+                    f"'t' per layer, got {self.st!r} (video models need the "
+                    f"per-layer python path, not scan-over-layers)")
             T = self.video_frames
             K = L // T
             if self.st == "s":      # (b, (t k), d) -> ((b t), k, d)
@@ -367,7 +379,15 @@ class Mamba(nn.Module):
         """Parallel prompt processing: (out (B, L, d_model), decode cache).
 
         One O(L)-parallel scan instead of L sequential ``step`` calls
-        (the reference replays tokens one by one, generation.py:93-140)."""
+        (the reference replays tokens one by one, generation.py:93-140).
+        Like ``step``, defined only for the direction-less v1 scan (decode
+        is an LM construct; v2/permuted scans have no causal decode order).
+        """
+        if self.scan_type != "v1":
+            raise ValueError(
+                f"prefill/decode requires scan_type='v1', got "
+                f"{self.scan_type!r}: bidirectional or permuted scans have "
+                f"no causal decode semantics")
         xz = self.in_proj(x)
         x_in, z = jnp.split(xz, 2, axis=-1)
         y, cache = self.fwd.prefill(x_in, z)

@@ -219,18 +219,22 @@ def build_layer_paths(
     if scan_type in ("v1", "v2"):
         return [None] * depth, [None] * depth, None
 
-    if scan_type.startswith(("zigzagN", "hilbertN", "randomN", "parallelN")):
+    if scan_type.startswith("parallelN"):
+        # every layer runs N parallel branches, each with ITS OWN path
+        # (handled inside the mixer via parallel_perms) — no additional
+        # per-layer outer permutation
+        return [None] * depth, [None] * depth, None
+
+    if scan_type.startswith(("zigzagN", "hilbertN", "randomN")):
         if scan_type.startswith("zigzagN"):
             k = int(scan_type[len("zigzagN"):])
             base = zigzag_path(patch_side)[:k]
         elif scan_type.startswith("hilbertN"):
             k = int(scan_type[len("hilbertN"):])
             base = hilbert_path(patch_side)[:k]
-        elif scan_type.startswith("randomN"):
+        else:
             k = int(scan_type[len("randomN"):])
             base = random_paths(patch_side, k, seed=seed)
-        else:  # parallelN: all 8 zigzag paths available to every layer
-            base = zigzag_path(patch_side)[:8]
         if len(base) == 0:
             raise ValueError(f"scan_type {scan_type!r} selects zero paths")
         base_rev = [reverse_permutation(p) for p in base]

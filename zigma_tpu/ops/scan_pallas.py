@@ -143,7 +143,10 @@ def _blocks(L, D, block_l, block_d, group):
     while D % BD:
         BD //= 2
     if L % BL or BL % group:
-        raise ValueError(f"L={L} must divide block_l={BL} (group {group})")
+        raise ValueError(
+            f"pallas scan needs block_l ({BL}) to divide L ({L}) and the "
+            f"loop group ({group}) to divide block_l; pad L to a multiple "
+            f"of {group} or use backend='chunked'")
     return BL, BD, L // BL
 
 
@@ -568,7 +571,8 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     if B.ndim != 3 or C.ndim != 3:
         raise ValueError("pallas backend requires variable B/C (B, L, N)")
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # Mosaic TPU programs; interpret on every other backend
+        interpret = jax.default_backend() != "tpu"
     d_inner = u.shape[-1]
     bias = (delta_bias if delta_bias is not None
             else jnp.zeros((d_inner,), jnp.float32))

@@ -44,7 +44,8 @@ def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
     from zigma_tpu.ops.scan_pallas import _core_full, _core_x0
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # the kernels are Mosaic TPU programs; interpret everywhere else
+        interpret = jax.default_backend() != "tpu"
     batch, L_s, d_inner = u.shape
     N = A.shape[1]
     bias = (delta_bias if delta_bias is not None
