@@ -35,7 +35,7 @@ class TestPrepareData:
         urls = list_shards(out_dir, "train-{000000..000002}.tar")
         reader = WebDatasetReader(
             urls, batch_size=4, repeat=False, prefetch=0,
-            rename={"latent": "img_feature256.npy"})
+            rename={"latent": "img_feature32.npy"})  # key follows --image-size
         batches = list(reader)
         assert len(batches) == 2  # partial=False drops the last 2
         assert batches[0]["latent"].shape == (4, 3, 32, 32)

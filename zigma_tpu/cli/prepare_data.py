@@ -121,8 +121,9 @@ def main(argv=None):
         latents = codec.encode(np.stack(batch_imgs))
         feats = (clip([m["caption"] for m in batch_meta])
                  if clip is not None else None)
+        feature_key = f"img_feature{args.image_size}.npy"
         for i, meta in enumerate(batch_meta):
-            members = {"img_feature256.npy": _npy_bytes(latents[i])}
+            members = {feature_key: _npy_bytes(latents[i])}
             if meta.get("jpeg") is not None:
                 members["image.jpg"] = meta["jpeg"]
             if meta.get("caption") is not None:

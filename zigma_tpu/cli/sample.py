@@ -23,6 +23,17 @@ from zigma_tpu.utils.logging_utils import create_logger
 from zigma_tpu.cli.train import DEFAULT_CONFIG_DIR, build_model
 
 
+def example_conditioning(cfg, batch: int):
+    """Shape-correct example y for init / unconditional-CLI sampling."""
+    data = cfg.data
+    if data.get("has_text"):
+        return jnp.zeros((batch, data.get("n_context_token", 77),
+                          data.get("d_context", 768)))
+    if data.get("num_classes", -1) > 0:
+        return jnp.zeros((batch,), jnp.int32)
+    return None
+
+
 def load_params(cfg, model, example_shape):
     """EMA params from an orbax TrainState dir or a reference .pt file
     (sample_acc.py:70-79 incl. 'module.' stripping, via the converter)."""
@@ -39,7 +50,8 @@ def load_params(cfg, model, example_shape):
 
     x = jnp.zeros(example_shape)
     t = jnp.zeros((example_shape[0],))
-    params = model.init(jax.random.PRNGKey(0), x, t)
+    params = model.init(jax.random.PRNGKey(0), x, t,
+                        example_conditioning(cfg, example_shape[0]))
     state = TrainState.create(params, create_optimizer())
     state = restore_checkpoint(path, jax.device_get(state))
     return state.ema_params
@@ -173,6 +185,13 @@ def main(argv=None):
         if cfg.data.get("num_classes", -1) > 0:  # random classes, like
             y = jax.random.randint(               # the ref's caption picks
                 ky, (bs,), 0, int(cfg.data["num_classes"]))
+        elif cfg.data.get("has_text"):
+            # text models need caption features; draw them from the real
+            # loader when available, else null (zero) conditioning
+            if real_gen is not None:
+                y = jnp.asarray(next(real_gen).get("y"))[:bs]
+            else:
+                y = example_conditioning(cfg, bs)
         if kind == "ode":
             samples = gen_ode(params, z, y)
         elif kind == "sde":

@@ -99,6 +99,7 @@ def wds_batches(cfg: Config, model: ZigMa):
     dm = WebDataModuleFromConfig(**{k: data[k] for k in dm_keys if k in data})
     loader = dm.train_dataloader()
     video = data.get("video_frames", 0) > 0
+    rng = np.random.default_rng(jax.process_index())
     for raw in loader:
         if video:
             batch = {"x": raw["frame_feature256"]}
@@ -108,7 +109,12 @@ def wds_batches(cfg: Config, model: ZigMa):
             x = raw.get("latent", raw.get("img_feature"))
             batch = {"x": x}
             if "caption_feature" in raw:
-                batch["y"] = raw["caption_feature"]
+                y = np.asarray(raw["caption_feature"])
+                if y.ndim == 4:  # (B, n_captions, 77, d): pick one per image
+                    # (the reference's random caption pick, train_acc.py:297-302)
+                    idx = rng.integers(0, y.shape[1], y.shape[0])
+                    y = y[np.arange(y.shape[0]), idx]
+                batch["y"] = y
         yield batch
 
 
@@ -212,6 +218,9 @@ def main(argv=None):
     logger.info("training for %d steps on mesh %s", train_steps,
                 dict(mesh.shape))
     t_log = time.time()
+    # host-side step counter: reading state.step each iteration would block
+    # on the async-dispatched train step and stop input I/O from overlapping
+    # device compute
     step = int(jax.device_get(state.step))
     while step < train_steps:
         batch = next(gen)
@@ -219,7 +228,7 @@ def main(argv=None):
             {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
         rng, k_step = jax.random.split(rng)
         state, metrics = step_fn(state, k_step, batch)
-        step = int(jax.device_get(state.step))
+        step += 1
 
         if step % log_every == 0:
             loss = float(jax.device_get(metrics["loss"]))
@@ -229,7 +238,8 @@ def main(argv=None):
             mlog.log(step, loss=loss, steps_per_sec=sps,
                      grad_norm=float(jax.device_get(metrics["grad_norm"])))
 
-        if step % ckpt_every == 0 and jax.process_index() == 0:
+        if step % ckpt_every == 0:
+            # ALL processes must call: orbax save is a global collective
             path = save_checkpoint(ckpt_dir, state)
             logger.info("saved checkpoint %s", path)
 
@@ -269,9 +279,9 @@ def main(argv=None):
                 logger.warning("FID eval unavailable: %s", e)
                 fid_every = 0  # don't retry every interval
 
-    if jax.process_index() == 0:
-        path = save_checkpoint(ckpt_dir, state)
-        logger.info("final checkpoint %s", path)
+    # ALL processes must call: orbax save is a global collective
+    path = save_checkpoint(ckpt_dir, state)
+    logger.info("final checkpoint %s", path)
     mlog.close()
     return state
 

@@ -42,10 +42,15 @@ class IdentityCodec(LatentCodec):
 
 
 class TorchVAECodec(LatentCodec):
-    """diffusers AutoencoderKL on CPU torch, local cache only."""
+    """diffusers AutoencoderKL on CPU torch, local cache only.
 
-    def __init__(self, model_id: str = "stabilityai/sd-vae-ft-ema",
-                 scale: float = LATENT_SCALE):
+    Works on RAW (unscaled) latents — the reference's shard contract
+    (train_acc.py:432 multiplies by 0.18215 at train time; sample_acc.py:365
+    divides before decode).  The 0.18215 scale lives at the train/sample
+    layer, never here, so decoding shard latents and decoding
+    already-descaled samples both go through the same call."""
+
+    def __init__(self, model_id: str = "stabilityai/sd-vae-ft-ema"):
         try:
             from diffusers import AutoencoderKL
         except ImportError as e:
@@ -59,21 +64,19 @@ class TorchVAECodec(LatentCodec):
             raise RuntimeError(
                 f"VAE weights for {model_id!r} not in the local HF cache "
                 f"(this environment has no egress): {e}") from e
-        self.scale = scale
 
     def encode(self, images):
         import torch
 
         with torch.no_grad():
             t = torch.from_numpy(np.asarray(images, np.float32))
-            lat = self.vae.encode(t).latent_dist.sample()
-            return (lat * self.scale).numpy()
+            return self.vae.encode(t).latent_dist.sample().numpy()
 
     def decode(self, latents):
         import torch
 
         with torch.no_grad():
-            t = torch.from_numpy(np.asarray(latents, np.float32)) / self.scale
+            t = torch.from_numpy(np.asarray(latents, np.float32))
             return self.vae.decode(t).sample.clamp(-1, 1).numpy()
 
 

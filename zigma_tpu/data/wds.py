@@ -336,11 +336,15 @@ class WebDatasetReader:
         _END = object()
 
         def worker():
+            # propagate pipeline errors to the consumer: a repeat=True
+            # stream that silently "ends" would make a crash look like
+            # normal completion to the train loop
             try:
                 for b in self._batches():
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -348,6 +352,8 @@ class WebDatasetReader:
             item = q.get()
             if item is _END:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

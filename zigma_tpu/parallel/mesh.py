@@ -38,7 +38,19 @@ def make_mesh(data: int = -1, model: int = 1,
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with the leading axis sharded over 'data'."""
+    """Place a host batch with the leading axis sharded over 'data'.
+
+    Single-process: a plain sharded device_put.  Multi-process: each host's
+    array is its LOCAL slice of the global batch, so assemble a global
+    array (global batch = n_processes * local batch, matching DDP
+    semantics) instead of letting device_put misread the local array as the
+    whole global batch."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P("data")), batch)
     sharding = NamedSharding(mesh, P("data"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

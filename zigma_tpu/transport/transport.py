@@ -305,8 +305,11 @@ class Sampler:
 def create_transport(path_type="Linear", prediction="velocity",
                      loss_weight=None, train_eps=None, sample_eps=None):
     """Factory with the reference's default-eps rules
-    (transport/__init__.py:4-75, including the quirk that sample_eps
-    defaults are gated on ``train_eps is None``)."""
+    (transport/__init__.py:4-75).  One reference bug intentionally fixed:
+    its ``sample_eps = 1e-3 if train_eps is None else sample_eps`` runs
+    AFTER train_eps was reassigned, so the sample_eps default can never
+    apply (sample_eps stays None and check_interval would crash); here the
+    default is gated on ``sample_eps is None`` as evidently intended."""
     model_type = {
         "noise": ModelType.NOISE,
         "score": ModelType.SCORE,
