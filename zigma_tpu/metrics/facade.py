@@ -53,7 +53,6 @@ class MyMetric:
         self.kid_subset_size = kid_subset_size
         self.prdc_k = prdc_k
         self.max_stored = max_stored
-        self._moments_initialized = False
         self.reset()
 
     # -- accumulation -------------------------------------------------------
@@ -99,11 +98,18 @@ class MyMetric:
 
     # -- compute -------------------------------------------------------------
 
-    def _gather(self, arrays: list) -> np.ndarray:
+    def _gather(self, arrays: list, dim: Optional[int] = None) -> np.ndarray:
         import jax
 
-        local = (np.concatenate(arrays, axis=0) if arrays
-                 else np.zeros((0, 1), np.float64))
+        if arrays:
+            local = np.concatenate(arrays, axis=0)
+        else:
+            # the empty placeholder must match the other processes' feature
+            # dim or process_allgather rejects the mismatched shapes
+            if dim is None:
+                dim = (self.fake_mom or self.real_mom).dim if (
+                    self.fake_mom or self.real_mom) else 1
+            local = np.zeros((0, dim), np.float64)
         if jax.process_count() <= 1:
             return local
         from jax.experimental import multihost_utils
@@ -150,7 +156,12 @@ class MyMetric:
             if "prdc" in self.choices:
                 out.update(prdc(real, fake, nearest_k=self.prdc_k))
         if "is" in self.choices:
-            logits = np.concatenate(self.fake_logits, axis=0)
+            if sync:
+                dim = (self.fake_logits[0].shape[-1]
+                       if self.fake_logits else None)
+                logits = self._gather(self.fake_logits, dim=dim)
+            else:
+                logits = np.concatenate(self.fake_logits, axis=0)
             m, s = inception_score(logits)
             out["is"], out["is_std"] = m, s
         return out
@@ -161,13 +172,9 @@ class VideoMetric(MyMetric):
 
     The reference reshapes videos through a 224-resize then I3D
     (my_metrics.py:58-69); here the extractor owns that mapping:
-    extractor(videos) -> (B, F).
+    extractor(videos) -> (B, F); the inherited update/compute machinery is
+    shape-agnostic.
     """
 
     def __init__(self, extractor: Callable, **kw):
         super().__init__(choices=["fvd"], extractor=extractor, **kw)
-
-    def _feats(self, videos):
-        f = np.asarray(self.extractor(np.asarray(videos)))
-        assert f.ndim == 2, f.shape
-        return f

@@ -73,23 +73,25 @@ def _try_torch_inception() -> Optional[Callable]:
         candidates = []
         if os.path.isdir(hub_dir):
             for root, _, files in os.walk(hub_dir):
-                candidates += [os.path.join(root, f) for f in files
-                               if "inception" in f.lower() and f.endswith(".pth")]
-        if not candidates:
-            return None
-        # torchvision's InceptionV3 definition is not bundled; without
-        # torchvision we can only use TorchScript archives
-        scripted = [c for c in candidates if c.endswith((".pt", ".pts"))]
-        if not scripted:
-            return None
-        net = torch.jit.load(scripted[0]).eval()
+                candidates += [
+                    os.path.join(root, f) for f in files
+                    if "inception" in f.lower()
+                    and f.endswith((".pt", ".pts", ".pth"))]
+        # torchvision's InceptionV3 definition is not bundled; only
+        # TorchScript archives are loadable — probe each candidate
+        for cand in candidates:
+            try:
+                net = torch.jit.load(cand).eval()
+            except Exception:
+                continue  # a raw state dict (.pth), not TorchScript
 
-        def extract(imgs: np.ndarray) -> np.ndarray:
-            with torch.no_grad():
-                t = torch.from_numpy(np.asarray(imgs)).float()
-                return net(t).numpy()
+            def extract(imgs: np.ndarray) -> np.ndarray:
+                with torch.no_grad():
+                    t = torch.from_numpy(np.asarray(imgs)).float()
+                    return net(t).numpy()
 
-        return extract
+            return extract
+        return None
     except Exception:
         return None
 

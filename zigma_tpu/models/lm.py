@@ -193,7 +193,6 @@ class MambaLMHeadModel(nn.Module):
 
     def init_caches(self, batch: int):
         cfg = self.ssm_cfg or {}
-        d_inner = 2 * self.d_model * 1  # expand defaults to 2
         d_inner = int(cfg.get("expand", 2) * self.d_model)
         return tuple(
             MambaCache.init(batch, d_inner, cfg.get("d_conv", 4),

@@ -385,9 +385,13 @@ class ZigMa(nn.Module):
         out = self(x2, t2, y2)
         cond, uncond = jnp.split(out, 2, axis=0)
         guided = uncond + cfg_scale * (cond - uncond)
-        if cfg_channels is not None and cfg_channels < out.shape[1]:
+        # channel axis is -3 for both image (B, C, H, W) and video
+        # (B, T, C, H, W) outputs
+        if cfg_channels is not None and cfg_channels < out.shape[-3]:
             guided = jnp.concatenate(
-                [guided[:, :cfg_channels], cond[:, cfg_channels:]], axis=1)
+                [jnp.take(guided, jnp.arange(cfg_channels), axis=-3),
+                 jnp.take(cond, jnp.arange(cfg_channels, out.shape[-3]),
+                          axis=-3)], axis=-3)
         return guided
 
     def _unpatchify(self, x):

@@ -25,13 +25,21 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    # build to a per-process temp file, then atomic rename: concurrent
+    # loader processes must never dlopen a half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         log.warning("native tar reader build failed (%s); using python tarfile",
                     e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -45,7 +53,13 @@ def _load() -> Optional[ctypes.CDLL]:
             if not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError as e:  # corrupt/stale .so: fall back, don't crash
+            log.warning("native tar reader unloadable (%s); using python "
+                        "tarfile", e)
+            _build_failed = True
+            return None
         lib.zt_open.restype = ctypes.c_void_p
         lib.zt_open.argtypes = [ctypes.c_char_p]
         lib.zt_count.restype = ctypes.c_long

@@ -110,7 +110,10 @@ bool index_archive(Archive* a) {
         memcpy(nm, hdr, 100);
         name = prefix[0] ? std::string(prefix) + "/" + nm : std::string(nm);
       }
-      a->members.push_back({std::move(name), payload, size});
+      // pre-POSIX convention: REGTYPE with a trailing '/' is a directory
+      // (Python tarfile normalizes these to DIRTYPE and skips them)
+      if (!name.empty() && name.back() != '/')
+        a->members.push_back({std::move(name), payload, size});
     } else {
       pending_longname.clear();  // 'x' pax headers etc: skip payload
     }

@@ -64,5 +64,8 @@ def add_norm(
     if residual_in_fp32:
         res = res.astype(jnp.float32)
     norm_fn = rms_norm if kind == "rms" else layer_norm
-    out = norm_fn(res.astype(x.dtype), weight, bias, eps)
+    # normalize the (possibly fp32) residual directly — the reference's
+    # fused kernel does the same (layernorm.py:464-504); downcasting first
+    # would re-quantize the accumulated residual every block
+    out = norm_fn(res, weight, bias, eps).astype(x.dtype)
     return (out, res) if prenorm else out

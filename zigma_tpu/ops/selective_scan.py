@@ -272,17 +272,19 @@ def _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
         return xs[:, -1], (y, x)
 
     x0 = jnp.zeros((batch, d_inner, N), jnp.float32)
-    _, (ys, carries) = jax.lax.scan(body, x0, (u_c, d_c, B_c, C_c))
+    x_final, (ys, carries) = jax.lax.scan(body, x0, (u_c, d_c, B_c, C_c))
     y = jnp.moveaxis(ys, 0, 1).reshape(batch, L_pad, d_inner)[:, :L]
 
     out = y if not has_D else y + _f32(u) * _f32(Dp)
     if has_z:
         out = out * jax.nn.silu(_f32(z))
-    return out.astype(dtype_in), jnp.moveaxis(carries, 0, 1)  # (B, nc, D, N)
+    # (B, nc, D, N) chunk starts; x_final = state after the last chunk
+    return out.astype(dtype_in), (jnp.moveaxis(carries, 0, 1), x_final)
 
 
 def _chunked_fwd(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
-    out, carries = _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias)
+    out, (carries, _) = _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z,
+                                          delta_bias)
     return out, (u, delta, A, Bv, Cv, Dp, z, delta_bias, carries)
 
 
@@ -411,20 +413,12 @@ def _selective_scan_chunked(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     zz = z if z is not None else jnp.zeros((0,), u.dtype)
     db = delta_bias if delta_bias is not None else jnp.zeros((0,), jnp.float32)
     if return_last_state:
-        out, carries = _chunked_fwd_impl(cfg, u, delta, A, B, C, Dp, zz, db)
-        # final state = scan one more virtual chunk? carries holds chunk
-        # *starts*; recompute last chunk end cheaply via the ref recurrence on
-        # the final chunk.  Simpler and rare (decode prefill only):
-        last = _last_state_from(u, delta, A, B, C, delta_bias, delta_softplus)
-        return out, last
+        # the chunked scan's final carry IS the last state (padded steps are
+        # identity: the activated delta is zero-padded, so exp(0)*x + 0 = x)
+        out, (_, x_final) = _chunked_fwd_impl(cfg, u, delta, A, B, C, Dp, zz,
+                                              db)
+        return out, x_final
     return _chunked_core(cfg, u, delta, A, B, C, Dp, zz, db)
-
-
-def _last_state_from(u, delta, A, B, C, delta_bias, delta_softplus):
-    _, last = _selective_scan_assoc(
-        u, delta, A, B, C, None, None, delta_bias, delta_softplus, True
-    )
-    return last
 
 
 # ---------------------------------------------------------------------------
