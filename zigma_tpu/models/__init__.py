@@ -8,6 +8,7 @@ from zigma_tpu.models.embedders import (
 from zigma_tpu.models.mamba import Mamba, MambaCache
 from zigma_tpu.models.zigma import (
     ZIGMA_PRESETS,
+    zigma_flops,
     CrossAttention,
     FinalLayer,
     ZigMa,
@@ -29,4 +30,5 @@ __all__ = [
     "ZigMa",
     "ZigMaBlock",
     "zigma_model",
+    "zigma_flops",
 ]
