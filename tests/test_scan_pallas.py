@@ -122,3 +122,24 @@ def test_fused_gate_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3,
                                    err_msg=f"grad {n}")
+
+
+@pytest.mark.parametrize("L", [100, 151, 200])
+def test_unaligned_L_autopads(L):
+    """Pallas path pads unaligned L; causality keeps y[:L] exact."""
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(10), L=128)
+    u, delta, B, C = u[:, :L], delta[:, :L], B[:, :L], C[:, :L]
+    bias = jnp.full((u.shape[-1],), 0.1, jnp.float32)
+    y_ref = selective_scan_ref(u, delta, A, B, C, Dskip,
+                               delta_bias=bias, delta_softplus=True)
+    y_pal = selective_scan_pallas(u, delta, A, B, C, Dskip,
+                                  delta_bias=bias, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-3, atol=6e-4)
+
+
+def test_unaligned_L_last_state_raises():
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(11), L=128)
+    u, delta, B, C = u[:, :100], delta[:, :100], B[:, :100], C[:, :100]
+    with pytest.raises(NotImplementedError, match="divisible"):
+        selective_scan_pallas(u, delta, A, B, C, return_last_state=True)

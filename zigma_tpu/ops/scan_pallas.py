@@ -577,6 +577,26 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     bias = (delta_bias if delta_bias is not None
             else jnp.zeros((d_inner,), jnp.float32))
     cfg = (bool(delta_softplus), bool(interpret))
+
+    # pad unaligned L: the scan is causal, so zero-padded trailing steps
+    # never influence y[:L].  (They DO evolve the state, so last-state
+    # requests need aligned L.)
+    L = u.shape[1]
+    align = 8 if L <= 128 else 128
+    Lp = -(-L // align) * align
+    if Lp != L:
+        if return_last_state:
+            raise NotImplementedError(
+                f"return_last_state needs L divisible by {align} (got {L}); "
+                f"use backend='chunked'")
+        pad = [(0, 0), (0, Lp - L), (0, 0)]
+        u_p, d_p, B_p, C_p = (jnp.pad(a, pad) for a in (u, delta, B, C))
+        y = _core(cfg, u_p, d_p, A, B_p, C_p, bias)[:, :L].astype(jnp.float32)
+        if D is not None:
+            y = y + u.astype(jnp.float32) * D
+        if z is not None:
+            y = y * jax.nn.silu(z.astype(jnp.float32))
+        return y.astype(u.dtype)
     if fuse_gate and D is not None and z is not None and not return_last_state:
         # gate epilogue inside the kernel.  Saves the raw-y HBM roundtrip
         # but measured SLOWER on v5e for the flagship shape (3.36 vs 3.93

@@ -452,7 +452,10 @@ def selective_scan(
     if backend == "auto":
         variable_bc = B.ndim == 3 and C.ndim == 3
         L_ = u.shape[1]
-        pallas_ok = (L_ % 128 == 0) or (L_ < 128 and L_ % 8 == 0)
+        # the pallas backend auto-pads unaligned L, except when the final
+        # state is requested (padding would evolve it past position L-1)
+        aligned = (L_ % 128 == 0) or (L_ <= 128 and L_ % 8 == 0)
+        pallas_ok = aligned or not return_last_state
         if (variable_bc and pallas_ok
                 and jax.default_backend() == "tpu"):
             backend = "pallas"
