@@ -79,8 +79,9 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
                      the flagship); dummies otherwise
 
     The recurrence loop is grouped: one leading-dim load of ``group`` steps
-    amortizes VMEM load latency (measured ~95 ns/step for per-step loads vs
-    ~53 ns unrolled), then static register extracts drive the FMAs.
+    amortizes VMEM load latency, then static register extracts drive the
+    FMAs.  Swept on v5e for the flagship shape: group=4 is the optimum
+    (1.36 ms vs 1.65 at 8, 1.54 at 2, 1.81 at 1).
     """
     k = pl.program_id(2)
     n_chunks = pl.num_programs(2)
@@ -155,7 +156,7 @@ def _blocks(L, D, block_l, block_d, group):
 def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
                          Dskip=None, z=None, *,
                          softplus: bool = True, block_l: int = 128,
-                         block_d: int = 512, group: int = 8,
+                         block_d: int = 512, group: int = 4,
                          interpret: bool = False):
     """Forward kernel: (y, chunk_carries, x_last).
 
@@ -350,7 +351,7 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
     output and dz/dD are also returned."""
     batch, L, D = u.shape
     N = A.shape[1]
-    BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group=8)
+    BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group=4)
     nD = D // BD
 
     At = jnp.asarray(A, jnp.float32).T
