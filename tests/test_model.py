@@ -210,3 +210,45 @@ class TestParallelN:
         params = m.init(jax.random.PRNGKey(0), x)
         with pytest.raises(ValueError, match="v1"):
             m.apply(params, x, method=Mamba.prefill)
+
+
+class TestDropPath:
+    def _model(self, **kw):
+        return ZigMa(in_channels=4, embed_dim=32, depth=3, img_dim=8,
+                     patch_size=2, scan_type="zigzagN2", use_pe=2,
+                     scan_backend="ref", **kw)
+
+    def test_eval_mode_no_drop(self):
+        """Without train=True, drop_path is inactive (deterministic)."""
+        m = self._model(drop_path_rate=0.5)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.full((2,), 0.4)
+        params = m.init(jax.random.PRNGKey(1), x, t)
+        o1 = m.apply(params, x, t)
+        o2 = m.apply(params, x, t)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_train_mode_stochastic(self):
+        """train=True + rate>0: different dropout keys change the output."""
+        m = self._model(drop_path_rate=0.9)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 8, 8))
+        t = jnp.full((4,), 0.4)
+        params = m.init(
+            {"params": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)}, x, t, train=True)
+        o1 = m.apply(params, x, t, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(3)})
+        o2 = m.apply(params, x, t, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(4)})
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_rate_zero_matches_eval(self):
+        m = self._model(drop_path_rate=0.0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.full((2,), 0.4)
+        params = m.init(jax.random.PRNGKey(1), x, t)
+        o_train = m.apply(params, x, t, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(3)})
+        o_eval = m.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(o_train), np.asarray(o_eval),
+                                   atol=1e-6)

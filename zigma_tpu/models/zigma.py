@@ -124,6 +124,17 @@ class FinalLayer(nn.Module):
         )(h)
 
 
+def drop_path(x, rate, rng, scale_by_keep: bool = True):
+    """Stochastic depth: zero a sample's contribution with prob ``rate``
+    (model_zigma.py:139-175).  Caller gates on training."""
+    keep = 1.0 - rate  # may be traced (per-layer rates ride the layer scan)
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    x = jnp.where(mask, x, 0.0)
+    if scale_by_keep:
+        x = x / jnp.maximum(keep, 1e-6)
+    return x
+
+
 class ZigMaBlock(nn.Module):
     """adaLN Mamba block with the prenorm-residual contract
     (model_zigma.py:340-460)."""
@@ -138,7 +149,12 @@ class ZigMaBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, residual, c, text=None, perm=None, perm_rev=None):
+    def __call__(self, x, residual, c, text=None, perm=None, perm_rev=None,
+                 drop_path_rate=None):
+        if drop_path_rate is not None:
+            # stochastic depth on the residual-stream contribution
+            # (model_zigma.py:415-438: drop_path(x) enters the fused add)
+            x = drop_path(x, drop_path_rate, self.make_rng("dropout"))
         norm_w = self.param("norm_weight", nn.initializers.ones, (self.dim,),
                             jnp.float32)
         norm_b = (None if self.rms_norm else
@@ -192,6 +208,7 @@ class ZigMa(nn.Module):
     norm_epsilon: float = 1e-5
     rms_norm: bool = True
     residual_in_fp32: bool = True
+    drop_path_rate: float = 0.1  # stochastic depth (model_zigma.py:552,676)
     scan_type: str = "v2"
     video_frames: int = 0
     tpe: bool = False
@@ -288,6 +305,14 @@ class ZigMa(nn.Module):
             residual_in_fp32=self.residual_in_fp32, n_layer=self.depth,
             dtype=self.dtype)
 
+        # stochastic depth schedule (model_zigma.py:676-681): block 0 gets
+        # 0.0, block i gets linspace(0, rate, depth)[i-1]; active only in
+        # training
+        use_dp = train and self.drop_path_rate > 0
+        inter_dpr = np.concatenate(
+            [[0.0], np.linspace(0, self.drop_path_rate, self.depth)])[
+                :self.depth]
+
         if scan_layers:
             mixer_cfg = dict(
                 scan_type=self.scan_type,
@@ -299,8 +324,15 @@ class ZigMa(nn.Module):
 
             def body(block, carry, scanned):
                 h, residual = carry
-                perm, perm_rev = scanned if has_perms else (None, None)
-                h, residual = block(h, residual, c, text, perm, perm_rev)
+                if use_dp:
+                    perm, perm_rev, dpr = scanned
+                else:
+                    perm, perm_rev = scanned
+                    dpr = None
+                if not has_perms:
+                    perm = perm_rev = None
+                h, residual = block(h, residual, c, text, perm, perm_rev,
+                                    dpr)
                 return (h, residual), None
 
             block_cls = ZigMaBlock
@@ -309,7 +341,7 @@ class ZigMa(nn.Module):
             scanned_blocks = nn.scan(
                 body,
                 variable_axes={"params": 0},
-                split_rngs={"params": True},
+                split_rngs={"params": True, "dropout": True},
                 in_axes=0,
                 length=self.depth,
             )
@@ -318,6 +350,8 @@ class ZigMa(nn.Module):
                       jnp.asarray(np.stack(paths_rev), jnp.int32))
             else:  # v1/v2: no permutation; dummy per-layer input
                 xs = (jnp.zeros((self.depth, 0), jnp.int32),) * 2
+            if use_dp:
+                xs = xs + (jnp.asarray(inter_dpr, jnp.float32),)
             block = block_cls(mixer_cfg=mixer_cfg, **block_kw, name="blocks")
             # residual=0 (not None): the scan carry structure must be fixed;
             # add_norm(x, ..., residual=0) == add_norm(x, ..., None)
@@ -346,9 +380,14 @@ class ZigMa(nn.Module):
                     **(self.ssm_cfg or {}))
                 h, residual = block_cls(
                     mixer_cfg=mixer_cfg, **block_kw,
-                    name=f"blocks_{i}")(h, residual, c, text)
+                    name=f"blocks_{i}")(
+                        h, residual, c, text, None, None,
+                        float(inter_dpr[i]) if use_dp else None)
 
-        # final add-norm (prenorm=False) + head (model_zigma.py:963-988)
+        # final add-norm (prenorm=False) + head (model_zigma.py:963-988);
+        # the reference also drop-paths the last hidden state here
+        if use_dp:
+            h = drop_path(h, self.drop_path_rate, self.make_rng("dropout"))
         normf_w = self.param("norm_f_weight", nn.initializers.ones,
                              (self.embed_dim,), jnp.float32)
         normf_b = (None if self.rms_norm else
