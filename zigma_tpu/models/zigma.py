@@ -85,9 +85,13 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        ti = _torch_linear_init()
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     kernel_init=ti, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     kernel_init=ti, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     kernel_init=ti, name="to_v")(context)
         B, L, _ = q.shape
         S = k.shape[1]
         q = q.reshape(B, L, self.heads, self.dim_head)
@@ -95,7 +99,8 @@ class CrossAttention(nn.Module):
         v = v.reshape(B, S, self.heads, self.dim_head)
         o = jax.nn.dot_product_attention(q, k, v)
         o = o.reshape(B, L, inner)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(o)
+        return nn.Dense(self.query_dim, dtype=self.dtype,
+                        kernel_init=ti, name="to_out")(o)
 
 
 class FinalLayer(nn.Module):
@@ -261,6 +266,7 @@ class ZigMa(nn.Module):
             (t * 1000.0).astype(jnp.float32))
         if self.has_text:
             y_emb = nn.Dense(self.embed_dim, dtype=self.dtype,
+                             kernel_init=_torch_linear_init(),
                              name="y_embedder")(y)
             c = t_emb + jnp.mean(y_emb, axis=1)
         elif self.num_classes > 0:
