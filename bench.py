@@ -60,8 +60,9 @@ def main():
         s = float(generate_sum(params, i))  # scalar transfer = real sync
     elapsed = time.perf_counter() - start
 
-    n_chips = max(jax.local_device_count(), 1)
-    imgs_per_sec_per_chip = batch * n_iters / elapsed / n_chips
+    # the jitted sampler is unsharded: exactly ONE chip does the work,
+    # regardless of how many devices the host exposes
+    imgs_per_sec_per_chip = batch * n_iters / elapsed
     baseline = 4.0  # BASELINE.json north-star target (img/s/chip, v5e)
     print(json.dumps({
         "metric": "images/sec/chip, 50-step ODE, 256^2 latents, zigzag8_b1",

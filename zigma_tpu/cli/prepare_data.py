@@ -47,8 +47,7 @@ class ShardWriter:
         self.shard_idx = -1
         self.count_in_shard = 0
         self.total = 0
-        self._tar = None
-        self._next_shard()
+        self._tar = None  # opened lazily: no empty shard for empty input
 
     def _next_shard(self):
         if self._tar is not None:
@@ -60,7 +59,7 @@ class ShardWriter:
         self._tar = tarfile.open(path, "w")
 
     def write(self, key: str, members: dict):
-        if self.count_in_shard >= self.shard_size:
+        if self._tar is None or self.count_in_shard >= self.shard_size:
             self._next_shard()
         for ext, data in members.items():
             info = tarfile.TarInfo(f"{key}.{ext}")
@@ -101,7 +100,9 @@ def main(argv=None):
     from PIL import Image
 
     codec = get_codec(args.codec)
-    transform = get_transforms_image(args.image_size)
+    # no random flip: augmentation baked into precomputed latents would be
+    # frozen and make shards nondeterministic
+    transform = get_transforms_image(args.image_size, flip=False)
     captions = json.load(open(args.captions)) if args.captions else None
     clip = None
     if captions is not None:
@@ -139,7 +140,12 @@ def main(argv=None):
         arr = transform(img)  # (C, H, W) in [-1, 1]
         meta = {"key": f"{idx:08d}"}
         if captions is not None:
-            meta["caption"] = captions.get(os.path.basename(path), "")
+            rel = os.path.relpath(path, args.images)
+            cap = captions.get(rel, captions.get(os.path.basename(path)))
+            if cap is None:
+                print(f"warning: no caption for {rel}; storing empty string")
+                cap = ""
+            meta["caption"] = cap
         if args.keep_jpeg:
             buf = io.BytesIO()
             Image.fromarray(

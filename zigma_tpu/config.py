@@ -113,12 +113,16 @@ def load_config(config_dir: str, name: str = "default",
             continue
         if isinstance(entry, dict):
             groups.update({str(k): str(v) for k, v in entry.items()})
+        else:  # hydra's plain '- groupname' form: group defaults to its name
+            groups[str(entry)] = str(entry)
     value_overrides = []
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"override must be key=value, got {ov!r}")
         key, val = ov.split("=", 1)
-        if "." not in key and key in groups:
+        is_group = "." not in key and (
+            key in groups or os.path.isdir(os.path.join(config_dir, key)))
+        if is_group:
             groups[key] = val
         else:
             value_overrides.append((key, val))
@@ -131,13 +135,12 @@ def load_config(config_dir: str, name: str = "default",
     for key, val in value_overrides:
         parsed = yaml.safe_load(val)
         if isinstance(parsed, str):
-            # YAML 1.1 misses dotless scientific floats like "3e-4"
-            try:
-                parsed = int(parsed, 0)
-            except ValueError:
-                try:
-                    parsed = float(parsed)
-                except ValueError:
-                    pass
+            # YAML 1.1 misses dotless scientific floats like "3e-4"; only
+            # coerce strings that look like them (plain ints/strings must
+            # stay as YAML parsed — int(x, 0) would eat hex/underscore ids)
+            import re as _re
+
+            if _re.fullmatch(r"[+-]?\d+(\.\d*)?[eE][+-]?\d+", parsed):
+                parsed = float(parsed)
         _set_dotted(cfg, key, parsed)
     return Config.wrap(cfg)

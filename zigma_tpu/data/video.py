@@ -193,12 +193,18 @@ def get_transforms_video(resolution: int = 256) -> Compose:
     ])
 
 
-def get_transforms_image(image_size: int = 256) -> Compose:
-    """(video_utils.py:576-587) for PIL input -> (C, H, W) in [-1, 1]."""
+def get_transforms_image(image_size: int = 256, flip: bool = True,
+                         rng: Optional[random.Random] = None) -> Compose:
+    """(video_utils.py:576-587) for PIL input -> (C, H, W) in [-1, 1].
+
+    ``flip=False`` for OFFLINE feature prep: a random flip baked into
+    precomputed latents would make shards nondeterministic and freeze the
+    augmentation (the reference flips per-epoch on raw pixels)."""
+    rng = rng or random
 
     def prep(pil_image):
         arr = center_crop_arr(pil_image, image_size)
-        if random.random() < 0.5:
+        if flip and rng.random() < 0.5:
             arr = arr[:, ::-1]
         arr = np.transpose(arr, (2, 0, 1)).astype(np.float32) / 255.0
         return (arr - 0.5) / 0.5
@@ -240,7 +246,11 @@ class FeaturePrepDataset:
             raise ValueError(f"video {path} too short: {len(vframes)} frames")
         idx = np.linspace(start, end - 1, self.num_frames).astype(int)
         video = self.transform(vframes[idx])
-        out = {"video": video, "text": text, "cls_id": int(cls_id)}
+        try:  # the reference never converts the id column; tolerate strings
+            cls_val = int(cls_id)
+        except (TypeError, ValueError):
+            cls_val = cls_id
+        out = {"video": video, "text": text, "cls_id": cls_val}
         if self.encode_fn is not None:
             out["frame_feature256"] = np.asarray(self.encode_fn(video))
         return out

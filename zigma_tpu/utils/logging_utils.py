@@ -28,6 +28,7 @@ def create_logger(log_dir: Optional[str] = None,
 
     logger = logging.getLogger(name)
     logger.handlers.clear()
+    logger.propagate = False  # avoid double-printing via a configured root
     if jax.process_index() == 0:
         logger.setLevel(logging.INFO)
         fmt = logging.Formatter(
@@ -42,7 +43,6 @@ def create_logger(log_dir: Optional[str] = None,
             logger.addHandler(fh)
     else:
         logger.addHandler(logging.NullHandler())
-        logger.propagate = False
     return logger
 
 
@@ -79,7 +79,8 @@ class MetricLogger:
             return
         rec = {"step": int(step), "time": time.time()}
         for k, v in metrics.items():
-            rec[k] = float(v) if isinstance(v, (int, float, np.floating)) else v
+            rec[k] = (float(v) if isinstance(
+                v, (int, float, np.floating, np.integer, np.bool_)) else v)
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
         if self._wandb is not None:
