@@ -134,9 +134,11 @@ def drop_path(x, rate, rng, scale_by_keep: bool = True):
     (model_zigma.py:139-175).  Caller gates on training."""
     keep = 1.0 - rate  # may be traced (per-layer rates ride the layer scan)
     mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    x = jnp.where(mask, x, 0.0)
+    x = jnp.where(mask, x, jnp.zeros((), x.dtype))
     if scale_by_keep:
-        x = x / jnp.maximum(keep, 1e-6)
+        # stay in x.dtype: an f32 scalar would promote bf16 activations and
+        # break the layer-scan carry dtype
+        x = x / jnp.maximum(keep, 1e-6).astype(x.dtype)
     return x
 
 
