@@ -290,25 +290,34 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
     w_s[...] = (dtu[:, None, :] * Bv.astype(jnp.float32)).astype(cdtype)
 
     BL = u.shape[0]
+    G = 4  # grouped leading-dim loads amortize VMEM latency (as in the fwd)
 
     # forward recompute within the chunk from the saved carry
-    def fwd_step(t, x):
-        x = decay_s[t].astype(jnp.float32) * x + w_s[t].astype(jnp.float32)
-        xs_s[t] = x.astype(cdtype)
+    def fwd_group(g_i, x):
+        base = pl.multiple_of(g_i * G, G)
+        dg = decay_s[pl.ds(base, G)].astype(jnp.float32)
+        wg = w_s[pl.ds(base, G)].astype(jnp.float32)
+        for j in range(G):
+            x = dg[j] * x + wg[j]
+            xs_s[base + j] = x.astype(cdtype)
         return x
 
-    jax.lax.fori_loop(0, BL, fwd_step, carry_ref[0, 0])
+    jax.lax.fori_loop(0, BL // G, fwd_group, carry_ref[0, 0])
 
     # adjoint reverse recurrence; dx_local staged in gs_s first
     gs_s[...] = (gy[:, None, :] * Cv.astype(jnp.float32))
 
-    def bwd_step(i, c):
-        t = BL - 1 - i
-        g = gs_s[t] + c
-        gs_s[t] = g
-        return decay_s[t].astype(jnp.float32) * g
+    def bwd_group(g_i, c):
+        base = pl.multiple_of(BL - (g_i + 1) * G, G)
+        dxg = gs_s[pl.ds(base, G)]
+        dg = decay_s[pl.ds(base, G)].astype(jnp.float32)
+        for j in range(G - 1, -1, -1):
+            g = dxg[j] + c
+            gs_s[base + j] = g
+            c = dg[j] * g
+        return c
 
-    gcarry_s[...] = jax.lax.fori_loop(0, BL, bwd_step, gcarry_s[...])
+    gcarry_s[...] = jax.lax.fori_loop(0, BL // G, bwd_group, gcarry_s[...])
 
     # bulk gradient assembly
     gs = gs_s[...]                                          # (BL, N, BD) f32
