@@ -140,3 +140,53 @@ def _latent_bytes(i):
     buf = io.BytesIO()
     np.save(buf, latent)
     return buf.getvalue()
+
+
+class TestResilience:
+    def test_corrupt_shard_skipped(self, tmp_path):
+        """warn_and_continue semantics (wds_dataloader.py:153-165): a corrupt
+        shard is skipped with a warning, the stream continues."""
+        good = str(tmp_path / "good.tar")
+        _write_shard(good, 4)
+        bad = str(tmp_path / "bad.tar")
+        with open(bad, "wb") as f:
+            f.write(b"this is not a tar file" * 100)
+        reader = WebDatasetReader([bad, good], batch_size=4, repeat=False,
+                                  prefetch=0)
+        batches = list(reader)
+        assert len(batches) == 1
+        assert batches[0]["latent.npy"].shape[0] == 4
+
+    def test_corrupt_sample_skipped(self, tmp_path):
+        """A sample whose member fails to decode is dropped, not fatal."""
+        import tarfile as tf
+
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 3)
+        with tf.open(shard, "a") as t:
+            info = tf.TarInfo("zzz.latent.npy")  # invalid npy payload
+            data = b"not-an-npy"
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+        reader = WebDatasetReader([shard], batch_size=1, repeat=False,
+                                  prefetch=0)
+        batches = list(reader)
+        assert len(batches) == 3  # corrupt 4th sample dropped
+
+    def test_prefetch_propagates_errors(self, tmp_path):
+        """A collation-level crash must surface through the prefetch thread,
+        not silently end the stream (per-sample decode errors are warned and
+        skipped; batch assembly errors are real failures)."""
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 4)
+        state = {"i": 0}
+
+        def alternating_shapes(a):  # breaks np.stack in collation
+            state["i"] += 1
+            return a[: 1 + state["i"] % 2]
+
+        reader = WebDatasetReader([shard], batch_size=2, repeat=False,
+                                  prefetch=2,
+                                  transforms={"latent.npy": alternating_shapes})
+        with pytest.raises(Exception):
+            list(reader)
