@@ -32,3 +32,23 @@ def test_device_memory_stats_shape():
     stats = device_memory_stats()
     # CPU backends may not expose memory_stats; just require a dict
     assert isinstance(stats, dict)
+
+
+def test_pos_embed_similarity_grid():
+    """Sincos PE similarity must peak at the anchor itself (self-sim = 1)."""
+    import numpy as np
+
+    from zigma_tpu.models.embedders import get_2d_sincos_pos_embed
+    from zigma_tpu.utils.logging_utils import pos_embed_similarity_grid
+
+    pe = get_2d_sincos_pos_embed(64, 8)  # (64, 64) for an 8x8 grid
+    img = pos_embed_similarity_grid(pe, img_dim=8, anchors=4)
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3
+    # anchor (0,0): its own map's top-left pixel is the max (cos sim 1)
+    first = img[:8, :8, 0].astype(int)
+    assert first[0, 0] == first.max()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pos_embed_similarity_grid(pe, img_dim=5)

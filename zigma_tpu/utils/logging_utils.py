@@ -110,3 +110,35 @@ def array_to_image_grid(x: np.ndarray, pad: int = 2) -> np.ndarray:
         grid[r * (H + pad):r * (H + pad) + H,
              c * (W + pad):c * (W + pad) + W] = img
     return (grid * 255).astype(np.uint8)
+
+
+def pos_embed_similarity_grid(pos_embed: np.ndarray, img_dim: int,
+                              anchors: int = 16) -> np.ndarray:
+    """Cosine-similarity maps of learned positional embeddings.
+
+    The reference's PE visualization (wandb_utils.py:115-160) plots, for a
+    grid of anchor tokens, the cosine similarity between the anchor's
+    embedding and every other token's, reshaped to the (H, W) token grid —
+    a frozen-sincos PE shows smooth distance falloff, a healthy learned PE
+    should too.
+
+    pos_embed: (L, D) with L == img_dim**2 (a leading length-1 axis is
+    squeezed).  Returns an (H', W', 3) uint8 grid image of ``anchors`` maps.
+    """
+    pe = np.asarray(pos_embed, np.float32)
+    if pe.ndim == 3 and pe.shape[0] == 1:
+        pe = pe[0]
+    L, _ = pe.shape
+    if L != img_dim * img_dim:
+        raise ValueError(f"pos_embed length {L} != {img_dim}^2")
+    pe = pe / np.maximum(np.linalg.norm(pe, axis=-1, keepdims=True), 1e-8)
+    side = int(np.ceil(np.sqrt(anchors)))
+    # anchors evenly spread over the token grid
+    coords = np.linspace(0, img_dim - 1, side).round().astype(int)
+    maps = []
+    for r in coords:
+        for c in coords:
+            sim = pe @ pe[r * img_dim + c]            # (L,) in [-1, 1]
+            maps.append(sim.reshape(img_dim, img_dim))
+    maps = np.stack(maps)[:, None]                    # (A, 1, H, W)
+    return array_to_image_grid(maps)
