@@ -62,6 +62,48 @@ def patch_statistics_extractor(patch: int = 8):
     return extract
 
 
+def _inception_weight_candidates():
+    """Local paths that may hold the FID InceptionV3 weights
+    (``pt_inception-2015-12-05`` family) as a raw torch state dict."""
+    explicit = os.environ.get("ZIGMA_INCEPTION_WEIGHTS")
+    if explicit:
+        yield explicit
+    roots = [os.path.expanduser("~/.cache/torch_fidelity")]
+    try:
+        import torch
+
+        roots.append(torch.hub.get_dir())
+    except Exception:
+        pass
+    for r in roots:
+        if not os.path.isdir(r):
+            continue
+        for root, _, files in os.walk(r):
+            for f in files:
+                if "inception" in f.lower() and f.endswith((".pth", ".pt")):
+                    yield os.path.join(root, f)
+
+
+def _try_jax_inception(feature: str) -> Optional[Callable]:
+    """Native JAX FID-InceptionV3 (runs on TPU) from a locally cached raw
+    state dict.  feature: '2048' (FID/KID/PRDC), '768' (sFID),
+    'logits_unbiased' (IS)."""
+    from zigma_tpu.metrics import inception_jax
+
+    for cand in _inception_weight_candidates():
+        try:
+            import torch
+
+            sd = torch.load(cand, map_location="cpu", weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            params = inception_jax.load_torch_state_dict(sd)
+        except Exception:
+            continue  # TorchScript archive / unrelated checkpoint
+        return inception_jax.inception_extractor(params, feature=feature)
+    return None
+
+
 def _try_torch_inception() -> Optional[Callable]:
     """InceptionV3 (pool3, 2048-d) from a local torch-fidelity or
     torchvision cache, run on CPU torch.  Returns None if weights are not
@@ -145,8 +187,14 @@ def get_extractor(name: str = "inception") -> Callable:
         fn = patch_statistics_extractor()
         _REGISTRY[name] = fn
         return fn
-    if name == "inception":
-        fn = _try_torch_inception()
+    if name in ("inception", "inception_sfid", "inception_logits"):
+        # native JAX net first (feature extraction on the accelerator),
+        # then a cached TorchScript archive on host CPU
+        feature = {"inception": "2048", "inception_sfid": "768",
+                   "inception_logits": "logits_unbiased"}[name]
+        fn = _try_jax_inception(feature)
+        if fn is None and name == "inception":
+            fn = _try_torch_inception()
         if fn is not None:
             _REGISTRY[name] = fn
             return fn
