@@ -104,6 +104,40 @@ def _try_jax_inception(feature: str) -> Optional[Callable]:
     return None
 
 
+def _try_jax_i3d() -> Optional[Callable]:
+    """Native JAX InceptionI3d (FVD logits on TPU) from a locally cached
+    raw state dict (``i3d_pretrained_400`` family)."""
+    from zigma_tpu.metrics import i3d_jax
+
+    paths = []
+    explicit = os.environ.get("ZIGMA_I3D_WEIGHTS")
+    if explicit:
+        paths.append(explicit)
+    try:
+        import torch
+
+        hub = torch.hub.get_dir()
+        if os.path.isdir(hub):
+            for root, _, files in os.walk(hub):
+                paths += [os.path.join(root, f) for f in files
+                          if "i3d" in f.lower()
+                          and f.endswith((".pt", ".pth"))]
+    except Exception:
+        pass
+    for cand in paths:
+        try:
+            import torch
+
+            sd = torch.load(cand, map_location="cpu", weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            params = i3d_jax.load_torch_state_dict(sd)
+        except Exception:
+            continue
+        return i3d_jax.i3d_extractor(params)
+    return None
+
+
 def _try_torch_inception() -> Optional[Callable]:
     """InceptionV3 (pool3, 2048-d) from a local torch-fidelity or
     torchvision cache, run on CPU torch.  Returns None if weights are not
@@ -206,9 +240,13 @@ def get_extractor(name: str = "inception") -> Callable:
             _REGISTRY[name] = fn
             return fn
     if name == "i3d":
-        # FVD features: StyleGAN-V I3D TorchScript from a local cache
-        # (reference: utils/torchmetric_fvd.py:169-186)
-        fn = _try_torchscript_cache("i3d")
+        # FVD features: native JAX InceptionI3d from a cached raw state
+        # dict (videogpt i3d_pretrained_400 layout) first, then the
+        # StyleGAN-V TorchScript archive on host CPU
+        # (reference: utils/torchmetric_fvd.py:169-186, fvd.py:8-19)
+        fn = _try_jax_i3d()
+        if fn is None:
+            fn = _try_torchscript_cache("i3d")
         if fn is not None:
             _REGISTRY[name] = fn
             return fn
