@@ -8,6 +8,8 @@ from zigma_tpu.metrics.features import (
     register_extractor,
 )
 from zigma_tpu.metrics.facade import MyMetric, VideoMetric
+from zigma_tpu.metrics import dinov2_jax, i3d_jax, inception_jax, lpips_jax
+from zigma_tpu.metrics.lpips_jax import lpips, lpips_video
 
 __all__ = [
     "RunningMoments",
@@ -24,4 +26,10 @@ __all__ = [
     "register_extractor",
     "MyMetric",
     "VideoMetric",
+    "inception_jax",
+    "i3d_jax",
+    "dinov2_jax",
+    "lpips_jax",
+    "lpips",
+    "lpips_video",
 ]

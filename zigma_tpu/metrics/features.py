@@ -138,6 +138,40 @@ def _try_jax_i3d() -> Optional[Callable]:
     return None
 
 
+def _try_jax_dinov2() -> Optional[Callable]:
+    """Native JAX DINOv2 ViT-L/14 (FDD features on TPU) from a locally
+    cached state dict (``dinov2_vitl14_pretrain.pth`` family)."""
+    from zigma_tpu.metrics import dinov2_jax
+
+    paths = []
+    explicit = os.environ.get("ZIGMA_DINOV2_WEIGHTS")
+    if explicit:
+        paths.append(explicit)
+    try:
+        import torch
+
+        hub = torch.hub.get_dir()
+        if os.path.isdir(hub):
+            for root, _, files in os.walk(hub):
+                paths += [os.path.join(root, f) for f in files
+                          if "dinov2" in f.lower() and "vitl14" in f.lower()
+                          and f.endswith((".pt", ".pth"))]
+    except Exception:
+        pass
+    for cand in paths:
+        try:
+            import torch
+
+            sd = torch.load(cand, map_location="cpu", weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            params = dinov2_jax.load_torch_state_dict(sd, arch="vitl14")
+        except Exception:
+            continue
+        return dinov2_jax.dinov2_extractor(params, arch="vitl14")
+    return None
+
+
 def _try_torch_inception() -> Optional[Callable]:
     """InceptionV3 (pool3, 2048-d) from a local torch-fidelity or
     torchvision cache, run on CPU torch.  Returns None if weights are not
@@ -233,9 +267,12 @@ def get_extractor(name: str = "inception") -> Callable:
             _REGISTRY[name] = fn
             return fn
     if name == "dinov2":
-        # FDD features: DINOv2 ViT from a local torch.hub cache
+        # FDD features: native JAX DINOv2 ViT-L/14 from a cached state
+        # dict first, then the torch.hub module on host CPU
         # (reference: utils/torchmetric_fdd.py:82-91)
-        fn = _try_torch_hub("facebookresearch/dinov2", "dinov2_vitl14")
+        fn = _try_jax_dinov2()
+        if fn is None:
+            fn = _try_torch_hub("facebookresearch/dinov2", "dinov2_vitl14")
         if fn is not None:
             _REGISTRY[name] = fn
             return fn
