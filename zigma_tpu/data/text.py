@@ -14,7 +14,47 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["FrozenCLIPEmbedder"]
+__all__ = ["FrozenCLIPEmbedder", "FrozenCLIPEmbedderJAX"]
+
+
+class FrozenCLIPEmbedderJAX:
+    """Same contract as FrozenCLIPEmbedder but the transformer runs as the
+    native JAX tower (``data/clip_jax.py``) — tokenization stays host-side.
+    Weights come from the local HF cache through the state-dict converter."""
+
+    def __init__(self, version: str = "openai/clip-vit-large-patch14",
+                 max_length: int = 77):
+        from transformers import CLIPTextModel, CLIPTokenizer
+
+        from zigma_tpu.data import clip_jax
+
+        try:
+            self.tokenizer = CLIPTokenizer.from_pretrained(
+                version, local_files_only=True)
+            torch_model = CLIPTextModel.from_pretrained(
+                version, local_files_only=True)
+        except Exception as e:
+            raise RuntimeError(
+                f"CLIP weights for {version!r} not in the local HF cache "
+                f"(no egress available): {e}") from e
+        cfg = torch_model.config
+        self.heads = cfg.num_attention_heads
+        self.params = clip_jax.load_torch_state_dict(
+            torch_model.state_dict(), cfg={"depth": cfg.num_hidden_layers})
+        del torch_model
+        self.max_length = max_length
+        self._forward = clip_jax.clip_text_forward
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        batch = self.tokenizer(
+            texts, truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np")
+        out = self._forward(self.params,
+                            jnp.asarray(batch["input_ids"], jnp.int32),
+                            heads=self.heads)
+        return np.asarray(out)
 
 
 class FrozenCLIPEmbedder:

@@ -5,8 +5,11 @@ The reference treats the SD VAE as a frozen black box via diffusers
 for text runs; decode at sample_acc.py:365 with the 0.18215 scale).  This
 rebuild keeps that contract behind ``LatentCodec``:
 
+- ``JAXVAECodec``: the native JAX AutoencoderKL (``data/vae_jax.py``) —
+  encode/decode on the accelerator from a locally cached diffusers state
+  dict; diffusers itself is not required (and is absent in this image).
 - ``TorchVAECodec``: the exact reference VAE through diffusers on CPU torch,
-  **only if the weights are already in the local HF cache** (zero-egress
+  **only if diffusers and the weights are locally available** (zero-egress
   environments can't download; we fail loudly rather than silently swap
   models — decoded-pixel metrics are meaningless otherwise).
 - ``IdentityCodec``: pass-through for pipelines that precompute latents in
@@ -19,8 +22,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["LatentCodec", "IdentityCodec", "TorchVAECodec", "get_codec",
-           "LATENT_SCALE"]
+__all__ = ["LatentCodec", "IdentityCodec", "TorchVAECodec", "JAXVAECodec",
+           "get_codec", "LATENT_SCALE"]
 
 LATENT_SCALE = 0.18215
 
@@ -80,13 +83,85 @@ class TorchVAECodec(LatentCodec):
             return self.vae.decode(t).sample.clamp(-1, 1).numpy()
 
 
+class JAXVAECodec(LatentCodec):
+    """Native JAX AutoencoderKL (``data/vae_jax.py``) — encode/decode run
+    on the accelerator.  Loads the diffusers-layout state dict from a local
+    cache (``ZIGMA_VAE_WEIGHTS`` or the HF hub cache); diffusers itself is
+    NOT required."""
+
+    def __init__(self, model_id: str = "stabilityai/sd-vae-ft-ema"):
+        from zigma_tpu.data import vae_jax
+
+        sd = _find_vae_state_dict(model_id)
+        if sd is None:
+            raise RuntimeError(
+                f"VAE weights for {model_id!r} not found locally (set "
+                f"ZIGMA_VAE_WEIGHTS or cache the diffusers state dict; "
+                f"this environment has no egress)")
+        self.params = vae_jax.load_torch_state_dict(sd)
+        self._encode, self._decode = vae_jax.vae_encode, vae_jax.vae_decode
+
+    def encode(self, images):
+        import jax.numpy as jnp
+
+        return np.asarray(self._encode(
+            self.params, jnp.asarray(np.asarray(images, np.float32))))
+
+    def decode(self, latents):
+        import jax.numpy as jnp
+
+        out = self._decode(
+            self.params, jnp.asarray(np.asarray(latents, np.float32)))
+        return np.clip(np.asarray(out), -1.0, 1.0)
+
+
+def _find_vae_state_dict(model_id: str):
+    """Probe local caches for a diffusers AutoencoderKL state dict."""
+    import glob
+    import os
+
+    paths = []
+    explicit = os.environ.get("ZIGMA_VAE_WEIGHTS")
+    if explicit:
+        paths.append(explicit)
+    cache = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    tag = "models--" + model_id.replace("/", "--")
+    for pat in (f"{cache}/hub/{tag}/**/diffusion_pytorch_model*",
+                f"{cache}/hub/{tag}/**/*.safetensors",
+                f"{cache}/hub/{tag}/**/*.bin"):
+        paths += sorted(glob.glob(pat, recursive=True))
+    for cand in paths:
+        try:
+            if cand.endswith(".safetensors"):
+                from safetensors.numpy import load_file
+
+                return load_file(cand)
+            import torch
+
+            sd = torch.load(cand, map_location="cpu", weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            return sd
+        except Exception:
+            continue
+    return None
+
+
 def get_codec(kind: str = "auto", **kw) -> LatentCodec:
-    """'identity' | 'sd-vae' | 'auto' (sd-vae if locally cached else identity
-    with a warning)."""
+    """'identity' | 'sd-vae' (native JAX, torch/diffusers fallback) |
+    'auto' (sd-vae if locally cached else identity with a warning)."""
     if kind == "identity":
         return IdentityCodec()
     if kind == "sd-vae":
-        return TorchVAECodec(**kw)
+        try:
+            return JAXVAECodec(**kw)
+        except RuntimeError:
+            return TorchVAECodec(**kw)
+    try:
+        return JAXVAECodec(**kw)
+    except RuntimeError:
+        pass
     try:
         return TorchVAECodec(**kw)
     except RuntimeError:
