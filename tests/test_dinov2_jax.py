@@ -66,6 +66,22 @@ class TestPrimitives:
 
 
 class TestPosEmbed:
+    def test_offset_scale_matches_torch_scale_factor(self):
+        """dinov2 passes scale_factor=(grid+0.1)/M to F.interpolate; the
+        coordinate scale must match torch's 1/scale_factor path."""
+        M, grid = 37, 16
+        pe = _rand(1, 1 + M * M, 4, seed=20)
+        _, got = dv._interp_pos_embed(jnp.asarray(pe), grid, grid,
+                                      offset=0.1)
+        g = torch.from_numpy(
+            pe[:, 1:].reshape(1, M, M, 4).transpose(0, 3, 1, 2).copy())
+        sf = float(grid + 0.1) / M
+        want = F.interpolate(g, scale_factor=(sf, sf), mode="bicubic",
+                             align_corners=False, antialias=False)
+        want = want.permute(0, 2, 3, 1).reshape(1, grid * grid, 4).numpy()
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-5)
+
     def test_identity_at_train_grid(self):
         pe = jnp.asarray(_rand(1, 1 + 37 * 37, 8, seed=10))
         cls_pe, grid_pe = dv._interp_pos_embed(pe, 37, 37)

@@ -205,12 +205,19 @@ def main(argv=None):
         if codec is not None:
             arr = codec.decode(arr)
         if metric is not None:
-            metric.update_fake(arr)
+            from zigma_tpu.metrics import to_uint8_images
+
+            # pixel space -> the reference's uint8 metric contract
+            # (sample_acc.py:384-385); raw latents stay float (patch-stats
+            # tracking only)
+            metric.update_fake(to_uint8_images(arr)
+                               if codec is not None else arr)
             if real_gen is not None:
                 real = np.asarray(next(real_gen)["x"])[:bs]
                 if codec is not None:
                     real = codec.decode(real)
-                metric.update_real(real)
+                metric.update_real(to_uint8_images(real)
+                                   if codec is not None else real)
         if arr.ndim == 5:
             np.save(os.path.join(out_dir, f"video_{it}_{rank}.npy"), arr)
         else:

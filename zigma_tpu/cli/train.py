@@ -194,11 +194,21 @@ def main(argv=None):
     fid_n = int(cfg.data.get("sample_fid_n", 0) or 0)
 
     def fid_eval(state, rng):
-        """FID-on-the-fly with the EMA weights (train_acc.py:507-646).
-        Degrades gracefully when no feature extractor is available."""
-        from zigma_tpu.metrics import MyMetric
+        """FID-on-the-fly with the EMA weights (train_acc.py:507-646):
+        sample, VAE-decode when a codec is available, convert to the uint8
+        metric contract.  Degrades gracefully (identity codec / patch-stats
+        latent tracking) when weights are absent."""
+        from zigma_tpu.data import IdentityCodec, get_codec
+        from zigma_tpu.metrics import MyMetric, to_uint8_images
 
         metric = MyMetric(choices=["fid"])
+        codec = get_codec(cfg.get("vae_kind", "auto"))
+        in_pixels = not isinstance(codec, IdentityCodec)
+
+        def feed(arr):
+            arr = codec.decode(np.asarray(arr))
+            return to_uint8_images(arr) if in_pixels else arr
+
         bs = int(cfg.data.get("sample_fid_bs", 4))
         done = 0
         while done < fid_n:
@@ -210,8 +220,8 @@ def main(argv=None):
             fake = vis_fn(state.ema_params, z, y)
             if latent_scale:
                 fake = fake / latent_scale
-            metric.update_real(real)
-            metric.update_fake(np.asarray(jax.device_get(fake)))
+            metric.update_real(feed(real))
+            metric.update_fake(feed(np.asarray(jax.device_get(fake))))
             done += real.shape[0]
         return metric.compute()
 

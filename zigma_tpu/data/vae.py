@@ -89,7 +89,8 @@ class JAXVAECodec(LatentCodec):
     cache (``ZIGMA_VAE_WEIGHTS`` or the HF hub cache); diffusers itself is
     NOT required."""
 
-    def __init__(self, model_id: str = "stabilityai/sd-vae-ft-ema"):
+    def __init__(self, model_id: str = "stabilityai/sd-vae-ft-ema",
+                 sample_posterior: bool = True, seed: int = 0):
         from zigma_tpu.data import vae_jax
 
         sd = _find_vae_state_dict(model_id)
@@ -100,12 +101,25 @@ class JAXVAECodec(LatentCodec):
                 f"this environment has no egress)")
         self.params = vae_jax.load_torch_state_dict(sd)
         self._encode, self._decode = vae_jax.vae_encode, vae_jax.vae_decode
+        # encode() samples the posterior like the reference's
+        # latent_dist.sample() shard prep (TorchVAECodec.encode above);
+        # sample_posterior=False switches to the deterministic mean
+        self.sample_posterior = sample_posterior
+        self._n_encoded = 0
+        self._seed = seed
 
     def encode(self, images):
+        import jax
         import jax.numpy as jnp
 
+        rng = None
+        if self.sample_posterior:
+            rng = jax.random.fold_in(jax.random.PRNGKey(self._seed),
+                                     self._n_encoded)
+            self._n_encoded += 1
         return np.asarray(self._encode(
-            self.params, jnp.asarray(np.asarray(images, np.float32))))
+            self.params, jnp.asarray(np.asarray(images, np.float32)),
+            rng=rng))
 
     def decode(self, latents):
         import jax.numpy as jnp

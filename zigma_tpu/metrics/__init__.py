@@ -7,7 +7,7 @@ from zigma_tpu.metrics.features import (
     patch_statistics_extractor,
     register_extractor,
 )
-from zigma_tpu.metrics.facade import MyMetric, VideoMetric
+from zigma_tpu.metrics.facade import MyMetric, VideoMetric, to_uint8_images
 from zigma_tpu.metrics import dinov2_jax, i3d_jax, inception_jax, lpips_jax
 from zigma_tpu.metrics.lpips_jax import lpips, lpips_video
 
@@ -26,6 +26,7 @@ __all__ = [
     "register_extractor",
     "MyMetric",
     "VideoMetric",
+    "to_uint8_images",
     "inception_jax",
     "i3d_jax",
     "dinov2_jax",

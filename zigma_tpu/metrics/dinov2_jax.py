@@ -55,15 +55,21 @@ def _cubic_weights(frac, a=-0.75):
     return np.where(ax <= 1.0, w_near, w_far)
 
 
-def torch_bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int):
+def torch_bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int,
+                         scale_h: float = None, scale_w: float = None):
     """torch ``F.interpolate(mode="bicubic", align_corners=False,
     antialias=False)`` on (..., H, W, C): half-pixel centers, cubic
-    convolution a=-0.75, border-clamped taps."""
+    convolution a=-0.75, border-clamped taps.
+
+    scale_h/scale_w: explicit src/dst coordinate scales — torch uses
+    ``1/scale_factor`` instead of ``in/out`` when the caller passes
+    ``scale_factor=`` (the dinov2 interpolate_offset path)."""
     H, W = x.shape[-3:-1]
 
-    def axis(in_size, out_size):
-        src = (np.arange(out_size, dtype=np.float64) + 0.5) * (
-            in_size / out_size) - 0.5
+    def axis(in_size, out_size, scale):
+        if scale is None:
+            scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
         base = np.floor(src).astype(np.int64)
         frac = src - base
         idx = np.clip(base[None] + np.array([[-1], [0], [1], [2]]),
@@ -71,8 +77,8 @@ def torch_bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int):
         return jnp.asarray(idx), jnp.asarray(
             _cubic_weights(frac), jnp.float32)              # (4, out)
 
-    yi, yw = axis(H, out_h)
-    xi, xw = axis(W, out_w)
+    yi, yw = axis(H, out_h, scale_h)
+    xi, xw = axis(W, out_w, scale_w)
     x = x.astype(jnp.float32)
     rows = sum(jnp.take(x, yi[t], axis=-3) * yw[t][:, None, None]
                for t in range(4))
@@ -80,15 +86,24 @@ def torch_bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int):
                for t in range(4))
 
 
-def _interp_pos_embed(pos_embed, grid_h, grid_w):
+def _interp_pos_embed(pos_embed, grid_h, grid_w, offset: float = 0.1):
     """dinov2 interpolate_pos_encoding: cls part kept, grid part
-    bicubic-resized from TRAIN_GRID^2 to grid_h x grid_w."""
+    bicubic-resized from TRAIN_GRID^2 to grid_h x grid_w.
+
+    dinov2's default ``interpolate_offset=0.1`` passes
+    ``scale_factor=(grid+0.1)/M`` to F.interpolate, so the coordinate
+    scale torch actually uses is ``M/(grid+0.1)`` — NOT ``M/grid``
+    (dinov2 vision_transformer.py interpolate_pos_encoding).  Replicated
+    here for feature parity with the hub model."""
     cls_pe, grid_pe = pos_embed[:, :1], pos_embed[:, 1:]
     n = grid_pe.shape[1]
     side = int(round(float(np.sqrt(n))))
     if (grid_h, grid_w) != (side, side):
         g = grid_pe.reshape(1, side, side, -1)
-        g = torch_bicubic_resize(g, grid_h, grid_w)
+        g = torch_bicubic_resize(
+            g, grid_h, grid_w,
+            scale_h=side / (grid_h + offset) if offset else None,
+            scale_w=side / (grid_w + offset) if offset else None)
         grid_pe = g.reshape(1, grid_h * grid_w, -1)
     return cls_pe, grid_pe
 

@@ -22,7 +22,15 @@ import numpy as np
 from zigma_tpu.metrics.distributional import inception_score, kid, prdc
 from zigma_tpu.metrics.frechet import RunningMoments, frechet_distance
 
-__all__ = ["MyMetric", "VideoMetric"]
+__all__ = ["MyMetric", "VideoMetric", "to_uint8_images"]
+
+
+def to_uint8_images(arr: np.ndarray) -> np.ndarray:
+    """[-1, 1] float images -> uint8 [0, 255], the reference's conversion
+    before every metric update (train_acc.py:45, sample_acc.py:319,384-385).
+    The feature extractors' input contract is uint8/[0,255] (features.py)."""
+    return np.clip(127.5 * np.asarray(arr, np.float32) + 128.0,
+                   0, 255).astype(np.uint8)
 
 _KNOWN = ("fid", "sfid", "kid", "is", "prdc", "fdd", "fvd")
 

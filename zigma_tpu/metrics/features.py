@@ -11,17 +11,27 @@ plug-in, because pretrained weights may not be present (and this build
 environment has zero egress).  Resolution order:
 
 1. An extractor callable you register/pass explicitly.
-2. Known local weight caches (torch hub / torch-fidelity / HF hub) loaded
-   through torch (CPU) — bit-compatible with the reference's features.
-3. Otherwise ``get_extractor`` raises with a clear message — FID computed
+2. The native JAX networks (metrics/{inception,dinov2,i3d}_jax.py) fed from
+   locally cached torch state dicts — feature extraction on the
+   accelerator.
+3. Cached TorchScript / torch.hub archives on host CPU.
+4. Otherwise ``get_extractor`` raises with a clear message — FID computed
    with a *different* feature net is not comparable to published numbers,
    so silently substituting one would be worse than failing.
+
+Input contract (IDENTICAL for every resolution path of a given name, the
+torch fallbacks wrap the same preprocessing as the JAX nets):
+
+- ``inception*`` / ``dinov2``: (B, C, H, W) uint8 or float in **[0, 255]**
+  (the reference's torchmetrics contract, my_metrics.py:118-129).
+- ``i3d``: (B, T, H, W, C) uint8 video in [0, 255]; resize/crop/scaling to
+  the I3D input happens inside.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Callable, Iterable, Optional
 
 import numpy as np
 
@@ -62,13 +72,19 @@ def patch_statistics_extractor(patch: int = 8):
     return extract
 
 
-def _inception_weight_candidates():
-    """Local paths that may hold the FID InceptionV3 weights
-    (``pt_inception-2015-12-05`` family) as a raw torch state dict."""
-    explicit = os.environ.get("ZIGMA_INCEPTION_WEIGHTS")
+# ---------------------------------------------------------------------------
+# weight-cache probing (shared by every native-JAX path)
+# ---------------------------------------------------------------------------
+
+
+def _weight_candidates(env_var: str, match: Callable[[str], bool],
+                       extra_roots: Iterable[str] = ()) -> Iterable[str]:
+    """Yield candidate weight files: the env-var override first, then any
+    matching file under the torch hub cache (and ``extra_roots``)."""
+    explicit = os.environ.get(env_var)
     if explicit:
         yield explicit
-    roots = [os.path.expanduser("~/.cache/torch_fidelity")]
+    roots = list(extra_roots)
     try:
         import torch
 
@@ -80,8 +96,26 @@ def _inception_weight_candidates():
             continue
         for root, _, files in os.walk(r):
             for f in files:
-                if "inception" in f.lower() and f.endswith((".pth", ".pt")):
+                if match(f.lower()) and f.endswith((".pt", ".pth")):
                     yield os.path.join(root, f)
+
+
+def _load_converted(env_var: str, match: Callable[[str], bool],
+                    convert: Callable, extra_roots: Iterable[str] = ()):
+    """torch.load each candidate and run it through ``convert``; the first
+    one that converts cleanly wins.  TorchScript archives and unrelated
+    checkpoints fail conversion and are skipped."""
+    for cand in _weight_candidates(env_var, match, extra_roots):
+        try:
+            import torch
+
+            sd = torch.load(cand, map_location="cpu", weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            return convert(sd)
+        except Exception:
+            continue
+    return None
 
 
 def _try_jax_inception(feature: str) -> Optional[Callable]:
@@ -90,18 +124,13 @@ def _try_jax_inception(feature: str) -> Optional[Callable]:
     'logits_unbiased' (IS)."""
     from zigma_tpu.metrics import inception_jax
 
-    for cand in _inception_weight_candidates():
-        try:
-            import torch
-
-            sd = torch.load(cand, map_location="cpu", weights_only=True)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            params = inception_jax.load_torch_state_dict(sd)
-        except Exception:
-            continue  # TorchScript archive / unrelated checkpoint
-        return inception_jax.inception_extractor(params, feature=feature)
-    return None
+    params = _load_converted(
+        "ZIGMA_INCEPTION_WEIGHTS", lambda f: "inception" in f,
+        inception_jax.load_torch_state_dict,
+        extra_roots=[os.path.expanduser("~/.cache/torch_fidelity")])
+    if params is None:
+        return None
+    return inception_jax.inception_extractor(params, feature=feature)
 
 
 def _try_jax_i3d() -> Optional[Callable]:
@@ -109,33 +138,11 @@ def _try_jax_i3d() -> Optional[Callable]:
     raw state dict (``i3d_pretrained_400`` family)."""
     from zigma_tpu.metrics import i3d_jax
 
-    paths = []
-    explicit = os.environ.get("ZIGMA_I3D_WEIGHTS")
-    if explicit:
-        paths.append(explicit)
-    try:
-        import torch
-
-        hub = torch.hub.get_dir()
-        if os.path.isdir(hub):
-            for root, _, files in os.walk(hub):
-                paths += [os.path.join(root, f) for f in files
-                          if "i3d" in f.lower()
-                          and f.endswith((".pt", ".pth"))]
-    except Exception:
-        pass
-    for cand in paths:
-        try:
-            import torch
-
-            sd = torch.load(cand, map_location="cpu", weights_only=True)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            params = i3d_jax.load_torch_state_dict(sd)
-        except Exception:
-            continue
-        return i3d_jax.i3d_extractor(params)
-    return None
+    params = _load_converted("ZIGMA_I3D_WEIGHTS", lambda f: "i3d" in f,
+                             i3d_jax.load_torch_state_dict)
+    if params is None:
+        return None
+    return i3d_jax.i3d_extractor(params)
 
 
 def _try_jax_dinov2() -> Optional[Callable]:
@@ -143,39 +150,23 @@ def _try_jax_dinov2() -> Optional[Callable]:
     cached state dict (``dinov2_vitl14_pretrain.pth`` family)."""
     from zigma_tpu.metrics import dinov2_jax
 
-    paths = []
-    explicit = os.environ.get("ZIGMA_DINOV2_WEIGHTS")
-    if explicit:
-        paths.append(explicit)
-    try:
-        import torch
+    params = _load_converted(
+        "ZIGMA_DINOV2_WEIGHTS",
+        lambda f: "dinov2" in f and "vitl14" in f,
+        lambda sd: dinov2_jax.load_torch_state_dict(sd, arch="vitl14"))
+    if params is None:
+        return None
+    return dinov2_jax.dinov2_extractor(params, arch="vitl14")
 
-        hub = torch.hub.get_dir()
-        if os.path.isdir(hub):
-            for root, _, files in os.walk(hub):
-                paths += [os.path.join(root, f) for f in files
-                          if "dinov2" in f.lower() and "vitl14" in f.lower()
-                          and f.endswith((".pt", ".pth"))]
-    except Exception:
-        pass
-    for cand in paths:
-        try:
-            import torch
 
-            sd = torch.load(cand, map_location="cpu", weights_only=True)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            params = dinov2_jax.load_torch_state_dict(sd, arch="vitl14")
-        except Exception:
-            continue
-        return dinov2_jax.dinov2_extractor(params, arch="vitl14")
-    return None
+# ---------------------------------------------------------------------------
+# host-torch fallbacks — SAME input contract as the JAX paths
+# ---------------------------------------------------------------------------
 
 
 def _try_torch_inception() -> Optional[Callable]:
-    """InceptionV3 (pool3, 2048-d) from a local torch-fidelity or
-    torchvision cache, run on CPU torch.  Returns None if weights are not
-    cached locally (zero-egress environments)."""
+    """torch-fidelity FID-Inception TorchScript archive on host CPU.
+    Input: (B, C, H, W) uint8/[0,255] float (the archive vasserts uint8)."""
     try:
         import torch
 
@@ -187,8 +178,6 @@ def _try_torch_inception() -> Optional[Callable]:
                     os.path.join(root, f) for f in files
                     if "inception" in f.lower()
                     and f.endswith((".pt", ".pts", ".pth"))]
-        # torchvision's InceptionV3 definition is not bundled; only
-        # TorchScript archives are loadable — probe each candidate
         for cand in candidates:
             try:
                 net = torch.jit.load(cand).eval()
@@ -197,7 +186,8 @@ def _try_torch_inception() -> Optional[Callable]:
 
             def extract(imgs: np.ndarray) -> np.ndarray:
                 with torch.no_grad():
-                    t = torch.from_numpy(np.asarray(imgs)).float()
+                    t = torch.from_numpy(
+                        np.asarray(imgs).astype(np.uint8))
                     return net(t).numpy()
 
             return extract
@@ -206,40 +196,51 @@ def _try_torch_inception() -> Optional[Callable]:
         return None
 
 
-def _try_torch_hub(repo: str, model: str) -> Optional[Callable]:
-    """Load a torch.hub model strictly from the local cache."""
+def _try_torch_dinov2() -> Optional[Callable]:
+    """torch.hub DINOv2 on host CPU, wrapped with the SAME preprocessing
+    as the JAX path: bicubic resize to 224 + ImageNet normalization
+    (reference: utils/torchmetric_fdd.py:93-105)."""
     try:
         import torch
 
-        net = torch.hub.load(repo, model, trust_repo=True,
-                             skip_validation=True, verbose=False)
-        net = net.eval()
+        net = torch.hub.load("facebookresearch/dinov2", "dinov2_vitl14",
+                             trust_repo=True, skip_validation=True,
+                             verbose=False).eval()
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
 
         def extract(imgs: np.ndarray) -> np.ndarray:
             with torch.no_grad():
-                return net(torch.from_numpy(np.asarray(imgs)).float()).numpy()
+                t = torch.from_numpy(np.asarray(imgs)).float() / 255.0
+                t = torch.nn.functional.interpolate(
+                    t, size=(224, 224), mode="bicubic",
+                    align_corners=False)
+                return net((t - mean) / std).numpy()
 
         return extract
     except Exception:
         return None
 
 
-def _try_torchscript_cache(tag: str) -> Optional[Callable]:
-    """Find a TorchScript .pt in the torch hub cache whose name contains
-    ``tag`` and wrap it as an extractor."""
+def _try_torch_i3d() -> Optional[Callable]:
+    """StyleGAN-V I3D TorchScript on host CPU, wrapped with the SAME
+    uint8-video contract as the JAX path (fvd preprocessing inside;
+    reference: utils/torchmetric_fvd.py:169-186)."""
     try:
         import torch
 
         hub_dir = torch.hub.get_dir()
         for root, _, files in os.walk(hub_dir):
             for f in files:
-                if tag in f.lower() and f.endswith((".pt", ".pts")):
+                if "i3d" in f.lower() and f.endswith((".pt", ".pts")):
                     net = torch.jit.load(os.path.join(root, f)).eval()
 
-                    def extract(x: np.ndarray) -> np.ndarray:
+                    def extract(videos: np.ndarray) -> np.ndarray:
+                        from zigma_tpu.metrics.i3d_jax import fvd_preprocess
+
+                        x = np.asarray(fvd_preprocess(videos))
                         with torch.no_grad():
-                            return net(torch.from_numpy(
-                                np.asarray(x)).float()).numpy()
+                            return net(torch.from_numpy(x)).numpy()
 
                     return extract
     except Exception:
@@ -248,7 +249,8 @@ def _try_torchscript_cache(tag: str) -> Optional[Callable]:
 
 
 def get_extractor(name: str = "inception") -> Callable:
-    """Resolve a named extractor; see module docstring for the order."""
+    """Resolve a named extractor; see module docstring for the order and
+    the per-name input contracts."""
     if name in _REGISTRY:
         return _REGISTRY[name]
     if name == "patch_stats":
@@ -267,23 +269,15 @@ def get_extractor(name: str = "inception") -> Callable:
             _REGISTRY[name] = fn
             return fn
     if name == "dinov2":
-        # FDD features: native JAX DINOv2 ViT-L/14 from a cached state
-        # dict first, then the torch.hub module on host CPU
-        # (reference: utils/torchmetric_fdd.py:82-91)
-        fn = _try_jax_dinov2()
-        if fn is None:
-            fn = _try_torch_hub("facebookresearch/dinov2", "dinov2_vitl14")
+        # FDD features (reference: utils/torchmetric_fdd.py:82-91)
+        fn = _try_jax_dinov2() or _try_torch_dinov2()
         if fn is not None:
             _REGISTRY[name] = fn
             return fn
     if name == "i3d":
-        # FVD features: native JAX InceptionI3d from a cached raw state
-        # dict (videogpt i3d_pretrained_400 layout) first, then the
-        # StyleGAN-V TorchScript archive on host CPU
-        # (reference: utils/torchmetric_fvd.py:169-186, fvd.py:8-19)
-        fn = _try_jax_i3d()
-        if fn is None:
-            fn = _try_torchscript_cache("i3d")
+        # FVD features (reference: utils/torchmetric_fvd.py:169-186,
+        # video_metrics/fvd/videogpt/fvd.py:8-19)
+        fn = _try_jax_i3d() or _try_torch_i3d()
         if fn is not None:
             _REGISTRY[name] = fn
             return fn

@@ -200,10 +200,6 @@ def _avg_pool_nopad(x, k=3):
 # ---------------------------------------------------------------------------
 
 
-def _cb(params, name):
-    return functools.partial(_conv_bn, p=params[name], spec=CONV_SPECS[name])
-
-
 def _run(params, name, x):
     return _conv_bn(x, params[name], CONV_SPECS[name])
 
