@@ -107,9 +107,14 @@ def main(argv=None):
     clip = None
     if captions is not None:
         try:
-            from zigma_tpu.data.text import FrozenCLIPEmbedder
+            # JAX tower (accelerator) first, host-torch transformer second
+            from zigma_tpu.data.text import (FrozenCLIPEmbedder,
+                                             FrozenCLIPEmbedderJAX)
 
-            clip = FrozenCLIPEmbedder()
+            try:
+                clip = FrozenCLIPEmbedderJAX()
+            except RuntimeError:
+                clip = FrozenCLIPEmbedder()
         except RuntimeError as e:
             print(f"note: captions stored as text only ({e})")
 
