@@ -40,6 +40,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from zigma_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from zigma_tpu.ops.selective_scan import selective_scan, selective_state_update
 
@@ -186,10 +188,14 @@ class _ScanBranch(nn.Module):
         """x_in, z: (B, L, d_inner) -> gated scan output (B, L, d_inner)."""
         x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b, activation="silu")
         delta, Bv, Cv, A = self._features(x_c)
-        return selective_scan(
+        y = selective_scan(
             x_c, delta, A, Bv, Cv, self.D, z=z,
             delta_bias=self.dt_bias, delta_softplus=True,
             backend=self.scan_backend, chunk=self.scan_chunk)
+        # named so a selective remat policy (ZigMa remat_policy='scan_out')
+        # can SAVE the scan output: the rematerialized forward then skips
+        # re-running the scan kernel, whose VJP recomputes internally anyway
+        return checkpoint_name(y, "scan_out")
 
     def step(self, x, z, cache):
         """Single-token decode (mamba_simple.py:492-552)."""

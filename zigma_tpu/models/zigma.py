@@ -197,6 +197,26 @@ class ZigMaBlock(nn.Module):
         return x, residual
 
 
+
+def _remat_policy(name):
+    """Map ZigMa.remat_policy strings onto jax checkpoint policies."""
+    import jax.ad_checkpoint as adc
+
+    if name is None:
+        return None
+    policies = {
+        "scan_out": adc.checkpoint_policies.save_only_these_names(
+            "scan_out"),
+        "dots": adc.checkpoint_policies.dots_saveable,
+        "scan_out+dots": adc.checkpoint_policies.save_from_both_policies(
+            adc.checkpoint_policies.save_only_these_names("scan_out"),
+            adc.checkpoint_policies.dots_saveable),
+    }
+    if name not in policies:
+        raise ValueError(f"unknown remat_policy {name!r}; "
+                         f"one of {sorted(policies)} or None")
+    return policies[name]
+
 class ZigMa(nn.Module):
     """The full denoiser.  Forward signature matches the reference:
     ``model(x, t, y)`` with x (B, C, H, W) images or (B, T, C, H, W) video
@@ -221,6 +241,15 @@ class ZigMa(nn.Module):
     tpe: bool = False
     use_pe: int = 0
     use_checkpoint: bool = False
+    # selective rematerialization (only with use_checkpoint):
+    #   None        -> full-block remat (the reference's torch.utils.checkpoint
+    #                  semantics, model_zigma.py:953-955)
+    #   'scan_out'  -> save the named selective-scan outputs; the backward's
+    #                  rematerialized forward skips re-running the scan kernel
+    #                  (~50 MB/layer bf16 at the flagship shape)
+    #   'dots'      -> save matmul results (jax dots_saveable)
+    #   'scan_out+dots' -> both
+    remat_policy: Optional[str] = None
     ssm_cfg: Optional[dict] = None
     path_seed: int = 0
     dtype: Any = jnp.float32
@@ -345,7 +374,8 @@ class ZigMa(nn.Module):
 
             block_cls = ZigMaBlock
             if self.use_checkpoint:
-                block_cls = nn.remat(ZigMaBlock, static_argnums=())
+                block_cls = nn.remat(ZigMaBlock, static_argnums=(),
+                                     policy=_remat_policy(self.remat_policy))
             scanned_blocks = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -370,7 +400,8 @@ class ZigMa(nn.Module):
         else:
             block_cls = ZigMaBlock
             if self.use_checkpoint:
-                block_cls = nn.remat(ZigMaBlock, static_argnums=())
+                block_cls = nn.remat(ZigMaBlock, static_argnums=(),
+                                     policy=_remat_policy(self.remat_policy))
 
             residual = None
             for i in range(self.depth):
