@@ -170,3 +170,24 @@ class TestFacade:
 
         with pytest.raises(RuntimeError):
             get_extractor("inception_not_cached_anywhere")
+
+
+class TestUint8Contract:
+    def test_to_uint8_images_reference_formula(self):
+        """clamp(127.5*x + 128, 0, 255) -> uint8 (train_acc.py:45)."""
+        from zigma_tpu.metrics import to_uint8_images
+
+        x = np.array([-2.0, -1.0, 0.0, 1.0, 2.0], np.float32)
+        out = to_uint8_images(x)
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, [0, 0, 128, 255, 255])
+
+    def test_roundtrip_range(self):
+        from zigma_tpu.metrics import to_uint8_images
+
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(-1, 1, (2, 3, 8, 8)).astype(np.float32)
+        out = to_uint8_images(imgs)
+        # uint8 encode of [-1,1] pixels inverts to within quantization
+        back = (out.astype(np.float32) - 128.0) / 127.5
+        np.testing.assert_allclose(back, imgs, atol=1 / 127.5 + 1e-6)
