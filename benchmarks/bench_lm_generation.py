@@ -13,7 +13,11 @@ Usage: python benchmarks/bench_lm_generation.py [--d-model 768] [--n-layer 24]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):

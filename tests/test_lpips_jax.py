@@ -101,3 +101,21 @@ class TestConverter:
     def test_missing_keys_raise(self):
         with pytest.raises(KeyError):
             lp.load_torch_state_dicts({}, {})
+
+
+class TestPerTimestep:
+    def test_reference_dict_layout(self):
+        params = lp.random_params(seed=0)
+        rng = np.random.default_rng(4)
+        v0 = rng.uniform(0, 1, (2, 3, 3, 32, 32)).astype(np.float32)
+        v1 = rng.uniform(0, 1, (2, 3, 3, 32, 32)).astype(np.float32)
+        out = lp.lpips_per_timestep(params, v0, v1)
+        assert set(out) == {"value", "value_std", "mean", "std"}
+        assert set(out["value"]) == {0, 1, 2}
+        # global mean equals the mean of per-timestep means
+        np.testing.assert_allclose(
+            out["mean"], np.mean(list(out["value"].values())), rtol=1e-6)
+        # consistent with lpips_video's frame mean
+        per_video = np.asarray(lp.lpips_video(
+            params, jnp.asarray(v0), jnp.asarray(v1)))
+        np.testing.assert_allclose(out["mean"], per_video.mean(), rtol=1e-5)

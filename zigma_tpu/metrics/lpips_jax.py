@@ -89,6 +89,28 @@ def lpips_video(params, vid0, vid1):
     return flat.reshape(B, T).mean(axis=1)
 
 
+def lpips_per_timestep(params, videos1, videos2) -> dict:
+    """Reference ``calculate_lpips`` layout: per-timestep mean/std over the
+    batch plus global mean/std (video_metrics/calculate_lpips.py:25-77).
+    videos: (B, T, C, H, W) in [0, 1].  One vectorized batch instead of the
+    reference's python double-loop."""
+    import numpy as np  # noqa: F811 — local alias for clarity
+
+    B, T = videos1.shape[:2]
+    flat = lpips(params,
+                 jnp.asarray(videos1).reshape((B * T,) + videos1.shape[2:])
+                 * 2.0 - 1.0,
+                 jnp.asarray(videos2).reshape((B * T,) + videos2.shape[2:])
+                 * 2.0 - 1.0)
+    per_t = np.asarray(flat).reshape(B, T)
+    return {
+        "value": {t: float(per_t[:, t].mean()) for t in range(T)},
+        "value_std": {t: float(per_t[:, t].std()) for t in range(T)},
+        "mean": float(per_t.mean()),
+        "std": float(per_t.std()),
+    }
+
+
 def param_shapes() -> Dict[str, Dict[str, tuple]]:
     shapes = {}
     for i, (cin, cout, k, _, _) in enumerate(_ALEX):
