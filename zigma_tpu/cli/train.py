@@ -225,6 +225,24 @@ def main(argv=None):
             done += real.shape[0]
         return metric.compute()
 
+    # Preemption-safe shutdown (beyond parity — the reference's only
+    # recovery is restart-from-last-periodic-checkpoint): SIGTERM/SIGINT
+    # set a flag; the loop breaks at the next step boundary and the final
+    # checkpoint below captures the current state.  On multi-host runs the
+    # scheduler delivers the signal to every host, so the collective orbax
+    # save still lines up.
+    import signal
+
+    stop_requested = []
+
+    def _request_stop(signum, frame):
+        del frame
+        stop_requested.append(signum)
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)}
+
     logger.info("training for %d steps on mesh %s", train_steps,
                 dict(mesh.shape))
     t_log = time.time()
@@ -233,6 +251,11 @@ def main(argv=None):
     # device compute
     step = int(jax.device_get(state.step))
     while step < train_steps:
+        if stop_requested:
+            logger.warning(
+                "signal %s received: checkpointing and exiting at step %d",
+                stop_requested[0], step)
+            break
         batch = next(gen)
         batch = shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
@@ -292,6 +315,8 @@ def main(argv=None):
     # ALL processes must call: orbax save is a global collective
     path = save_checkpoint(ckpt_dir, state)
     logger.info("final checkpoint %s", path)
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     mlog.close()
     return state
 
