@@ -70,6 +70,15 @@ def test_update_matches_full(W):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_update_rejects_unknown_activation():
+    # decode must validate like the training path (no silent un-gated output)
+    x = jnp.zeros((2, 5))
+    state = jnp.zeros((2, 4, 5))
+    w = jnp.zeros((5, 4))
+    with pytest.raises(ValueError, match="activation"):
+        causal_conv1d_update(x, state, w, activation="gelu")
+
+
 def test_initial_state_continuation():
     """Chunked prefill: conv over [x1; x2] == conv(x1) then conv(x2, state)."""
     rng = np.random.default_rng(3)

@@ -40,6 +40,15 @@ class TestLabelEmbedder:
         np.testing.assert_allclose(out[0], table[4], atol=1e-6)  # dropped
         np.testing.assert_allclose(out[1], table[1], atol=1e-6)  # kept
 
+    def test_force_drop_without_cfg_raises(self):
+        # dropout_prob=0 means no null-class row exists: asking for a drop
+        # must fail loudly, not clamp onto the last real class
+        m = LabelEmbedder(num_classes=4, hidden_size=8, dropout_prob=0.0)
+        labels = jnp.array([0, 1])
+        params = m.init(jax.random.PRNGKey(0), labels)
+        with pytest.raises(ValueError, match="force_drop_ids"):
+            m.apply(params, labels, force_drop_ids=jnp.array([1, 0]))
+
     def test_eval_no_drop(self):
         m = LabelEmbedder(num_classes=4, hidden_size=8, dropout_prob=0.9)
         labels = jnp.array([2])

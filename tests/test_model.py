@@ -103,6 +103,29 @@ class TestZigMa:
         _, out = self._forward(m, (2, 4, 8, 8), y=labels)
         assert out.shape == (2, 4, 8, 8)
 
+    def test_use_pe3_scan_layers(self):
+        """Per-layer PEs must be real, USED params in BOTH layer layouts
+        (the scan layout stacks them as one (depth, 1, L, D) param)."""
+        kw = dict(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=1, scan_type="zigzagN2", use_pe=3,
+                  scan_backend="ref")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.zeros((2,))
+
+        m_loop = ZigMa(**kw, scan_layers=False)
+        p_loop = m_loop.init(jax.random.PRNGKey(1), x, t)
+        assert "pos_embed_0" in p_loop["params"]
+        m_scan = ZigMa(**kw, scan_layers=True)
+        p_scan = m_scan.init(jax.random.PRNGKey(1), x, t)
+        pe = p_scan["params"]["pos_embed_layers"]
+        assert pe.shape == (2, 1, 64, 64)
+
+        # the PE must influence the output (zero-init -> perturb -> change)
+        base = m_scan.apply(p_scan, x, t)
+        p2 = jax.tree.map(lambda a: a, p_scan)
+        p2["params"]["pos_embed_layers"] = pe + 1.0
+        assert not jnp.allclose(m_scan.apply(p2, x, t), base)
+
     def test_video(self):
         m = ZigMa(in_channels=4, embed_dim=64, depth=4, img_dim=8,
                   patch_size=2, scan_type="zzvideo_sst", video_frames=3,

@@ -161,6 +161,15 @@ class TestSamplers:
         assert traj.shape == (8, *z.shape)
         assert jnp.isfinite(traj).all()
 
+    def test_sde_sbdm_finite(self):
+        # SBDM diffusion divides by t; velocity transports default
+        # sample_eps=0, so t0 must be clamped off 0 (the reference NaNs here)
+        sampler, model, z = self._setup()
+        fn = sampler.sample_sde(num_steps=8, diffusion_form="SBDM",
+                                last_step="Mean", last_step_size=0.04)
+        traj = fn(jax.random.PRNGKey(1), z, model)
+        assert jnp.isfinite(traj).all()
+
     def test_sde_heun_runs(self):
         sampler, model, z = self._setup()
         fn = sampler.sample_sde(sampling_method="Heun", num_steps=8,

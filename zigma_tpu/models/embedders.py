@@ -125,6 +125,13 @@ class LabelEmbedder(nn.Module):
             embedding_init=nn.initializers.normal(stddev=0.02), name="embedding",
         )
         if (train and use_cfg) or force_drop_ids is not None:
+            if not use_cfg:
+                # the null row only exists when dropout_prob > 0; without it
+                # jnp.take would silently clamp the num_classes index onto
+                # the last real class (the reference shares this trap)
+                raise ValueError(
+                    "force_drop_ids requires dropout_prob > 0: the embedding "
+                    "table has no null-class row at dropout_prob == 0")
             if force_drop_ids is None:
                 rng = self.make_rng("label_drop")
                 drop = jax.random.uniform(rng, labels.shape) < self.dropout_prob

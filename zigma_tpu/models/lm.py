@@ -24,18 +24,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from zigma_tpu.models.inits import rescaled_linear_init
 from zigma_tpu.models.mamba import Mamba, MambaCache
 from zigma_tpu.ops.norms import add_norm
 
 __all__ = ["MixerModel", "MambaLMHeadModel", "generate"]
 
 
-def _rescaled_linear_init(n_layer: int):
-    def init(key, shape, dtype=jnp.float32):
-        bound = shape[0] ** -0.5
-        return jax.random.uniform(key, shape, dtype, -bound, bound) / math.sqrt(n_layer)
-
-    return init
 
 
 class _LMBlock(nn.Module):
@@ -58,7 +53,7 @@ class _LMBlock(nn.Module):
         self.mixer = Mamba(
             d_model=self.d_model, scan_type="v1", layer_idx=self.layer_idx,
             dtype=self.dtype,
-            out_proj_kernel_init=_rescaled_linear_init(self.n_layer),
+            out_proj_kernel_init=rescaled_linear_init(self.n_layer),
             **(self.ssm_cfg or {}), name="mixer")
 
     def _prenorm(self, x, residual):

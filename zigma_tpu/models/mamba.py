@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from jax.ad_checkpoint import checkpoint_name
 
+from zigma_tpu.models.inits import torch_linear_init
 from zigma_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from zigma_tpu.ops.selective_scan import selective_scan, selective_state_update
 
@@ -102,15 +103,6 @@ def _conv_init(d_conv: int):
     return init
 
 
-def _torch_linear_init():
-    """torch Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
-
-    def init(key, shape, dtype=jnp.float32):
-        fan_in = shape[0]  # (in, out) layout
-        bound = fan_in**-0.5
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 class MambaCache:
@@ -161,7 +153,7 @@ class _ScanBranch(nn.Module):
                        (self.d_inner,), jnp.float32)
             if self.conv_bias else None)
         self.x_proj_kernel = self.param(
-            "x_proj_kernel", _torch_linear_init(),
+            "x_proj_kernel", torch_linear_init(),
             (self.d_inner, self.dt_rank + 2 * self.d_state), jnp.float32)
         self.dt_kernel = self.param(
             "dt_proj_kernel",
@@ -279,7 +271,7 @@ class Mamba(nn.Module):
             dtype=self.dtype, scan_backend=self.scan_backend,
             scan_chunk=self.scan_chunk)
         self.in_proj = nn.Dense(2 * self.d_inner, use_bias=self.bias,
-                                dtype=self.dtype, kernel_init=_torch_linear_init(),
+                                dtype=self.dtype, kernel_init=torch_linear_init(),
                                 name="in_proj")
         self.fwd = _ScanBranch(**branch_cfg, name="scan")
         if self.scan_type == "v2":
@@ -301,7 +293,7 @@ class Mamba(nn.Module):
             ]
         self.out_proj = nn.Dense(
             self.d_model, use_bias=self.bias, dtype=self.dtype,
-            kernel_init=self.out_proj_kernel_init or _torch_linear_init(),
+            kernel_init=self.out_proj_kernel_init or torch_linear_init(),
             name="out_proj")
 
     def __call__(self, x, perm=None, perm_rev=None):

@@ -37,6 +37,7 @@ from zigma_tpu.models.embedders import (
     TimestepEmbedder,
     get_2d_sincos_pos_embed,
 )
+from zigma_tpu.models.inits import rescaled_linear_init, torch_linear_init
 from zigma_tpu.models.mamba import Mamba
 from zigma_tpu.ops.norms import add_norm, layer_norm
 from zigma_tpu.ops.paths import build_layer_paths, reverse_permutation, zigzag_path
@@ -50,24 +51,6 @@ def modulate(x, shift, scale):
     return x * (1 + scale[:, None]) + shift[:, None]
 
 
-def _torch_linear_init():
-    def init(key, shape, dtype=jnp.float32):
-        bound = shape[0] ** -0.5
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
-
-
-def _rescaled_linear_init(n_layer: int):
-    """GPT-2 residual rescale: torch-default uniform / sqrt(n_layer)
-    (model_zigma.py:512-541)."""
-
-    def init(key, shape, dtype=jnp.float32):
-        bound = shape[0] ** -0.5
-        x = jax.random.uniform(key, shape, dtype, -bound, bound)
-        return x / math.sqrt(n_layer)
-
-    return init
 
 
 class CrossAttention(nn.Module):
@@ -85,7 +68,7 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         inner = self.heads * self.dim_head
-        ti = _torch_linear_init()
+        ti = torch_linear_init()
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                      kernel_init=ti, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -125,7 +108,7 @@ class FinalLayer(nn.Module):
             h = modulate(h, shift, scale)
         return nn.Dense(
             self.patch_size * self.patch_size * self.out_channels,
-            dtype=self.dtype, kernel_init=_torch_linear_init(), name="linear",
+            dtype=self.dtype, kernel_init=torch_linear_init(), name="linear",
         )(h)
 
 
@@ -183,7 +166,7 @@ class ZigMaBlock(nn.Module):
 
         mixer = Mamba(
             d_model=self.dim, dtype=self.dtype,
-            out_proj_kernel_init=_rescaled_linear_init(self.n_layer),
+            out_proj_kernel_init=rescaled_linear_init(self.n_layer),
             name="mixer", **self.mixer_cfg)
         x = x + parts[2][:, None] * mixer(
             modulate(x, parts[0], parts[1]), perm=perm, perm_rev=perm_rev)
@@ -297,7 +280,7 @@ class ZigMa(nn.Module):
             (t * 1000.0).astype(jnp.float32))
         if self.has_text:
             y_emb = nn.Dense(self.embed_dim, dtype=self.dtype,
-                             kernel_init=_torch_linear_init(),
+                             kernel_init=torch_linear_init(),
                              name="y_embedder")(y)
             c = t_emb + jnp.mean(y_emb, axis=1)
         elif self.num_classes > 0:
@@ -358,9 +341,20 @@ class ZigMa(nn.Module):
                 scan_backend=self.scan_backend, scan_chunk=self.scan_chunk,
                 **(self.ssm_cfg or {}))
             has_perms = paths[0] is not None
+            # use_pe=3 (per-layer PEs, real params here unlike the
+            # reference's unregistered aliases, model_zigma.py:644-651):
+            # one stacked (depth, 1, n_pe, D) param sliced per scan step
+            pe_layers = None
+            if self.use_pe == 3:
+                pe_layers = self.param(
+                    "pos_embed_layers", nn.initializers.zeros,
+                    (self.depth, 1, n_pe, self.embed_dim), jnp.float32)
 
             def body(block, carry, scanned):
                 h, residual = carry
+                pe_i = None
+                if pe_layers is not None:
+                    pe_i, scanned = scanned[0], scanned[1:]
                 if use_dp:
                     perm, perm_rev, dpr = scanned
                 else:
@@ -368,6 +362,8 @@ class ZigMa(nn.Module):
                     dpr = None
                 if not has_perms:
                     perm = perm_rev = None
+                if pe_i is not None:
+                    h = h + pe_i.astype(h.dtype)
                 h, residual = block(h, residual, c, text, perm, perm_rev,
                                     dpr)
                 return (h, residual), None
@@ -390,6 +386,8 @@ class ZigMa(nn.Module):
                 xs = (jnp.zeros((self.depth, 0), jnp.int32),) * 2
             if use_dp:
                 xs = xs + (jnp.asarray(inter_dpr, jnp.float32),)
+            if pe_layers is not None:
+                xs = (pe_layers,) + xs
             block = block_cls(mixer_cfg=mixer_cfg, **block_kw, name="blocks")
             # residual=0 (not None): the scan carry structure must be fixed;
             # add_norm(x, ..., residual=0) == add_norm(x, ..., None)

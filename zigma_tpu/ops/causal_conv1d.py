@@ -89,4 +89,6 @@ def causal_conv1d_update(x, conv_state, weight, bias=None, activation="silu"):
         y = y + bias.astype(jnp.float32)
     if activation in ("silu", "swish"):
         y = jax.nn.silu(y)
+    elif activation is not None:
+        raise ValueError(f"unsupported activation {activation!r}")
     return y.astype(x.dtype), new_state

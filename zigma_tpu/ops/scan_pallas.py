@@ -571,6 +571,14 @@ def _fused_bwd(cfg, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def pallas_seq_aligned(L: int) -> bool:
+    """Whether the kernel handles length L without auto-padding — the one
+    place the alignment rule lives (selective_scan's auto-dispatch queries
+    this to keep return_last_state off the padding path)."""
+    align = 8 if L <= 128 else 128
+    return L % align == 0
+
+
 def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                           delta_softplus: bool = False,
                           return_last_state: bool = False,
@@ -594,7 +602,7 @@ def selective_scan_pallas(u, delta, A, B, C, D=None, z=None, delta_bias=None,
     L = u.shape[1]
     align = 8 if L <= 128 else 128
     Lp = -(-L // align) * align
-    if Lp != L:
+    if not pallas_seq_aligned(L):
         if return_last_state:
             raise NotImplementedError(
                 f"return_last_state needs L divisible by {align} (got {L}); "

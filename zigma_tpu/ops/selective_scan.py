@@ -450,12 +450,12 @@ def selective_scan(
     chunked for variable B/C, assoc for static B/C.
     """
     if backend == "auto":
+        from zigma_tpu.ops.scan_pallas import pallas_seq_aligned
+
         variable_bc = B.ndim == 3 and C.ndim == 3
-        L_ = u.shape[1]
         # the pallas backend auto-pads unaligned L, except when the final
         # state is requested (padding would evolve it past position L-1)
-        aligned = (L_ % 128 == 0) or (L_ <= 128 and L_ % 8 == 0)
-        pallas_ok = aligned or not return_last_state
+        pallas_ok = pallas_seq_aligned(u.shape[1]) or not return_last_state
         if (variable_bc and pallas_ok
                 and jax.default_backend() == "tpu"):
             backend = "pallas"

@@ -116,7 +116,7 @@ def make_diffusion_loss_fn(model, transport, train: bool = True,
         rng, k_drop, k_label = jax.random.split(rng, 3)
         rngs = ({"dropout": k_drop, "label_drop": k_label} if train else {})
         model_fn = lambda xt, t, **kw: model.apply(
-            params, xt, t, y, train=train, rngs=rngs)
+            params, xt, t, y, train=train, rngs=rngs, **kw)
         terms = transport.training_losses(model_fn, rng, x)
         return jnp.mean(terms["loss"])
 

@@ -45,10 +45,9 @@ def odeint_fixed(drift: Callable, x0, t0: float, t1: float, num_steps: int,
                  method: str = "euler"):
     """Integrate dx/dt = drift(x, t) over linspace(t0, t1, num_steps).
 
-    drift: f(x, t_batch) -> dx, pytree-valued.  Returns trajectory of length
-    num_steps-1 (the save points after the initial condition), matching the
-    reference's convention of excluding x(t0) from the SDE list but matching
-    torchdiffeq for ODE — we return ALL num_steps points including x(t0).
+    drift: f(x, t_batch) -> dx, pytree-valued.  Returns ALL num_steps save
+    points including x(t0) on a leading axis — the torchdiffeq odeint
+    convention (the reference's ODE path).
     """
     ts = jnp.linspace(t0, t1, num_steps)
     dts = ts[1:] - ts[:-1]
@@ -171,10 +170,11 @@ def sdeint(drift: Callable, diffusion: Callable, rng, x0, t0: float, t1: float,
            num_steps: int, method: str = "Euler"):
     """Integrate the reverse SDE over linspace(t0, t1, num_steps).
 
-    Mirrors the reference loop (integrators.py:31-80): num_steps-1 steps, and
-    returns (trajectory, mean_trajectory_last) — trajectory has num_steps-1
-    entries (the reference drops the initial point), mean_x is exposed so the
-    "Mean" last step can use it.
+    Mirrors the reference loop (integrators.py:31-80): num_steps-1 steps;
+    returns the noisy trajectory with num_steps-1 entries (the reference
+    drops the initial point).  The "Mean" last step is applied by the caller
+    (Sampler.sample_sde) as one extra drift-only step on trajectory[-1],
+    matching the reference's __Mean_step__.
 
     drift(x, t_batch), diffusion(x, t_batch).
     """

@@ -249,6 +249,14 @@ class Sampler:
             self.transport.train_eps, self.transport.sample_eps,
             diffusion_form=diffusion_form, sde=True, eval=True,
             reverse=False, last_step_size=last_step_size)
+        if diffusion_form == "SBDM" and t0 == 0:
+            # velocity+Linear/GVP transports default sample_eps to 0, but the
+            # SBDM diffusion coefficient divides by t: the first step at
+            # t0=0 is inf and NaN-poisons the trajectory (the reference
+            # inherits the same flaw and dodges it only because its shipped
+            # sde config uses diffusion_form=sigma).  Start at the eps the
+            # reference uses for every other singular path.
+            t0 = 1e-3
         last_fn = self._last_step_fn(sde_drift, last_step, last_step_size)
 
         def sample_fn(rng, z, model_fn, **model_kwargs):
