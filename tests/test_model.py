@@ -103,6 +103,32 @@ class TestZigMa:
         _, out = self._forward(m, (2, 4, 8, 8), y=labels)
         assert out.shape == (2, 4, 8, 8)
 
+    def test_class_dropout_null_row_and_cfg_default(self):
+        """class_dropout_prob>0 allocates the null-class row and
+        forward_with_cfg defaults y_null to it for integer labels."""
+        m = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                  patch_size=1, num_classes=10, scan_type="v1",
+                  class_dropout_prob=0.1, scan_backend="ref")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+        t = jnp.zeros((2,))
+        y = jnp.array([1, 3])
+        params = m.init(jax.random.PRNGKey(1), x, t, y)
+        table = params["params"]["y_embedder"]["embedding"]["embedding"]
+        assert table.shape[0] == 11  # 10 classes + null row
+
+        guided = m.apply(params, x, t, y, 2.0,
+                         method=ZigMa.forward_with_cfg)
+        explicit = m.apply(params, x, t, y, 2.0,
+                           jnp.full_like(y, 10),
+                           method=ZigMa.forward_with_cfg)
+        np.testing.assert_allclose(np.asarray(guided), np.asarray(explicit),
+                                   atol=1e-6)
+        # cfg_scale=1 reduces to the plain conditional forward
+        plain = m.apply(params, x, t, y)
+        cfg1 = m.apply(params, x, t, y, 1.0, method=ZigMa.forward_with_cfg)
+        np.testing.assert_allclose(np.asarray(cfg1), np.asarray(plain),
+                                   atol=1e-5)
+
     def test_use_pe3_scan_layers(self):
         """Per-layer PEs must be real, USED params in BOTH layer layouts
         (the scan layout stacks them as one (depth, 1, L, D) param)."""

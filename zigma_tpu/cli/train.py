@@ -100,15 +100,25 @@ def wds_batches(cfg: Config, model: ZigMa):
     loader = dm.train_dataloader()
     video = data.get("video_frames", 0) > 0
     rng = np.random.default_rng(jax.process_index())
+    n_frames = int(data.get("video_frames", 0))
     for raw in loader:
         if video:
-            batch = {"x": raw["frame_feature256"]}
+            x = np.asarray(raw["frame_feature256"])
+            if x.shape[1] > n_frames:
+                # stored clips longer than the model window: random temporal
+                # crop per batch (the reference's celebav family,
+                # train_acc.py:309-317)
+                start = int(rng.integers(0, x.shape[1] - n_frames))
+                x = x[:, start:start + n_frames]
+            batch = {"x": x}
             if "cls_id" in raw:
                 batch["y"] = raw["cls_id"]
         else:
             x = raw.get("latent", raw.get("img_feature"))
             batch = {"x": x}
-            if "caption_feature" in raw:
+            if "cls_id" in raw:  # class-conditional image data (beyond the
+                batch["y"] = raw["cls_id"]  # reference's video-only cls_id)
+            elif "caption_feature" in raw:
                 y = np.asarray(raw["caption_feature"])
                 if y.ndim == 4:  # (B, n_captions, 77, d): pick one per image
                     # (the reference's random caption pick, train_acc.py:297-302)

@@ -213,6 +213,10 @@ class ZigMa(nn.Module):
     patch_size: int = 1
     has_text: bool = False
     num_classes: int = -1
+    # CFG label drop rate (reference hardcodes 0.0 alongside its vestigial
+    # forward_with_cfg, model_zigma.py:672; >0 allocates the null-class row
+    # that makes class-conditional CFG trainable here)
+    class_dropout_prob: float = 0.0
     d_context: int = 0
     n_context_token: int = 0
     norm_epsilon: float = 1e-5
@@ -285,6 +289,7 @@ class ZigMa(nn.Module):
             c = t_emb + jnp.mean(y_emb, axis=1)
         elif self.num_classes > 0:
             c = t_emb + LabelEmbedder(self.num_classes, self.embed_dim,
+                                      dropout_prob=self.class_dropout_prob,
                                       name="y_embedder")(y, train=train)
         else:
             c = t_emb
@@ -450,11 +455,15 @@ class ZigMa(nn.Module):
         DiT-style option of guiding only the first ``cfg_channels`` channels
         (model_zigma.py:1000-1010 applies it to 3 of 4).
 
-        y_null: unconditional conditioning (zeros of y's shape by default —
-        for class models pass the null-class label explicitly).
+        y_null: unconditional conditioning.  Defaults: the null-class label
+        (index num_classes) for class models, zeros for feature
+        conditioning.
         """
         if y_null is None:
-            y_null = jnp.zeros_like(y)
+            if self.num_classes > 0 and jnp.issubdtype(y.dtype, jnp.integer):
+                y_null = jnp.full_like(y, self.num_classes)
+            else:
+                y_null = jnp.zeros_like(y)
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         y2 = jnp.concatenate([y, y_null], axis=0)
