@@ -98,6 +98,125 @@ class TestTrainCLI:
                              "data.train_steps=2"])
         assert int(jax.device_get(state.step)) == 2
 
+    @staticmethod
+    def _write_shard(path, members_per_key):
+        import io
+        import tarfile
+
+        with tarfile.open(path, "w") as tar:
+            for key, members in members_per_key:
+                for ext, data in members.items():
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(data)
+                    tar.addfile(info, io.BytesIO(data))
+
+    def test_image_cls_id_shard_train(self, tmp_path):
+        """Class-conditional IMAGE shards (cls_id members) through the real
+        wds pipeline + train main."""
+        import io
+
+        from zigma_tpu.cli.train import main
+
+        shard_dir = tmp_path / "shards"
+        shard_dir.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(16):
+            buf = io.BytesIO()
+            np.save(buf, rng.standard_normal((3, 8, 8)).astype(np.float32))
+            rows.append((f"{i:03d}", {
+                "img_feature8.npy": buf.getvalue(),
+                "cls_id.cls": str(i % 5).encode()}))
+        self._write_shard(str(shard_dir / "train-000000.tar"), rows)
+
+        cfg_dir = tmp_path / "configs"
+        import shutil
+
+        shutil.copytree(CONFIG_DIR, cfg_dir)
+        (cfg_dir / "data" / "tinycls.yaml").write_text(f"""name: tinycls
+train_steps: 2
+video_frames: 0
+batch_size: 8
+image_size: 8
+num_classes: 5
+sample_fid_n: 0
+sample_fid_every: 1000000
+sample_fid_bs: 2
+tar_base: {shard_dir}
+val_batch_size: 2
+multinode: false
+train:
+  shards: 'train-000000.tar'
+  rename:
+    latent: img_feature8.npy
+    cls_id: cls_id.cls
+""")
+        out = str(tmp_path / "out")
+        state = main([f"--config-dir={cfg_dir}", "data=tinycls",
+                      "model.params.in_channels=3",
+                      "model.params.embed_dim=32", "model.params.depth=2",
+                      "model.params.img_dim=8", "model.params.patch_size=2",
+                      "model.params.scan_type=zigzagN2",
+                      "model.params.class_dropout_prob=0.2",
+                      "mixed_precision=fp32", "is_latent=false",
+                      "log_every=2", "ckpt_every=1000000",
+                      "sample_every=1000000", f"results_dir={out}"])
+        assert int(jax.device_get(state.step)) == 2
+        # the null-class row exists (class_dropout_prob > 0)
+        table = state.params["params"]["y_embedder"]["embedding"]["embedding"]
+        assert table.shape[0] == 6
+
+    def test_video_temporal_window_crop(self, tmp_path):
+        """Stored clips longer than the model window: the generator crops a
+        random window (reference celebav family, train_acc.py:309-317)."""
+        import io
+
+        from zigma_tpu.cli.train import main
+
+        shard_dir = tmp_path / "shards"
+        shard_dir.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(8):
+            buf = io.BytesIO()
+            np.save(buf, rng.standard_normal(
+                (7, 3, 8, 8)).astype(np.float32))  # 7 frames stored
+            rows.append((f"{i:03d}", {"frame_feature256.npy": buf.getvalue()}))
+        self._write_shard(str(shard_dir / "train-000000.tar"), rows)
+
+        cfg_dir = tmp_path / "configs"
+        import shutil
+
+        shutil.copytree(CONFIG_DIR, cfg_dir)
+        (cfg_dir / "data" / "tinyvid.yaml").write_text(f"""name: tinyvid
+train_steps: 2
+video_frames: 3
+is_video: true
+batch_size: 8
+image_size: 8
+num_classes: -1
+sample_fid_n: 0
+sample_fid_every: 1000000
+sample_fid_bs: 2
+tar_base: {shard_dir}
+val_batch_size: 2
+multinode: false
+train:
+  shards: 'train-000000.tar'
+  rename:
+    frame_feature256: frame_feature256.npy
+""")
+        out = str(tmp_path / "out")
+        state = main([f"--config-dir={cfg_dir}", "data=tinyvid",
+                      "model.params.in_channels=3",
+                      "model.params.embed_dim=32", "model.params.depth=2",
+                      "model.params.img_dim=8", "model.params.patch_size=2",
+                      "model.params.scan_type=zzvideo_st",
+                      "mixed_precision=fp32", "is_latent=false",
+                      "log_every=2", "ckpt_every=1000000",
+                      "sample_every=1000000", f"results_dir={out}"])
+        assert int(jax.device_get(state.step)) == 2
+
 
 class TestSampleCLI:
     def test_sample_from_trained_ckpt(self, tmp_path):
