@@ -275,3 +275,61 @@ class TestSampleCLI:
         ])
         assert len([f for f in os.listdir(sample_dir)
                     if f.endswith(".png")]) == 4
+
+
+class TestConvertCLI:
+    def test_convert_then_finetune(self, tmp_path):
+        """Reference-shaped .pt -> zigma-convert -> fine-tune via train CLI."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_convert import _torch_zigma_state_dict
+
+        from zigma_tpu.cli.convert import main as convert_main
+        from zigma_tpu.cli.train import main as train_main
+
+        sd = _torch_zigma_state_dict(depth=2, embed_dim=64, in_ch=4,
+                                     patch=2, n_patches=16)
+        pt = str(tmp_path / "ref_0001000.pt")
+        torch.save({"ema": sd, "model": sd, "train_steps": 1000}, pt)
+
+        model_over = [
+            "data=synthetic", "data.batch_size=8", "data.image_size=16",
+            "model.params.in_channels=4", "model.params.embed_dim=64",
+            "model.params.depth=2", "model.params.img_dim=8",
+            "model.params.patch_size=2", "model.params.scan_type=zigzagN2",
+            "model.params.use_pe=2", "mixed_precision=fp32",
+        ]
+        out_ckpt = convert_main(
+            [f"--ckpt={pt}", f"--out={tmp_path / 'converted'}"] + model_over)
+        assert os.path.isdir(out_ckpt)
+
+        out = str(tmp_path / "out")
+        state = train_main(model_over + [
+            f"ckpt={out_ckpt}", f"results_dir={out}",
+            "data.train_steps=2", "log_every=1",
+            "ckpt_every=1000000", "sample_every=1000000"])
+        assert int(jax.device_get(state.step)) == 2
+
+    def test_convert_rejects_mismatched_model(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from test_convert import _torch_zigma_state_dict
+
+        from zigma_tpu.cli.convert import main as convert_main
+
+        sd = _torch_zigma_state_dict(depth=2, embed_dim=64, in_ch=4,
+                                     patch=2, n_patches=16)
+        pt = str(tmp_path / "ref.pt")
+        torch.save({"ema": sd}, pt)
+        with pytest.raises(SystemExit, match="mismatch"):
+            convert_main([
+                f"--ckpt={pt}", f"--out={tmp_path / 'converted'}",
+                "data=synthetic",
+                "model.params.in_channels=4", "model.params.embed_dim=128",
+                "model.params.depth=2", "model.params.img_dim=8",
+                "model.params.patch_size=2",
+                "model.params.scan_type=zigzagN2"])
