@@ -134,6 +134,21 @@ class TestReader:
         batch = next(iter(loader))
         assert batch["latent"].shape == (4, 4, 8, 8)
 
+    def test_val_loader_is_finite(self, tmp_path):
+        """Eval passes need StopIteration; only the train stream repeats."""
+        for i in range(2):
+            _write_shard(str(tmp_path / f"data-{i:05d}.tar"), 4, start=4 * i)
+        spec = {"shards": "data-{00000..00001}.tar", "shuffle": 0,
+                "rename": {"latent": "latent.npy", "cls_id": "cls_id.cls"}}
+        dm = WebDataModuleFromConfig(
+            tar_base=str(tmp_path), batch_size=4, image_size=8,
+            multinode=False, train=spec, validation=spec, val_batch_size=4)
+        batches = list(dm.val_dataloader())
+        assert len(batches) == 2  # 8 samples / bs 4, exactly one epoch
+        it = iter(dm.train_dataloader())
+        for _ in range(4):  # train repeats past one epoch
+            next(it)
+
 
 def _latent_bytes(i):
     latent = np.random.default_rng(i).normal(size=(4, 8, 8)).astype(np.float32)

@@ -88,6 +88,41 @@ def test_rolling_strided_covers_every_token(lm):
     np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
+def test_rolling_scores_every_token_exactly_once():
+    """Token coverage with small windows: a uniform-logits model gives
+    every scored token logprob -log(V), so the rolling total must be
+    exactly (L-1)·(-log V) for ANY window/stride — a window bookkeeping
+    bug (e.g. the old stride==window default) drops tokens and shows up
+    as a wrong multiple."""
+
+    class Uniform:
+        def apply(self, params, ids):
+            import jax.numpy as jnp
+
+            return jnp.zeros((*ids.shape, 50), jnp.float32)
+
+    model, V, L = Uniform(), 50, 23
+    ids = np.arange(L).astype(np.int32) % V
+    expect = -(L - 1) * np.log(V)
+    for window, stride in ((4, None), (4, 1), (4, 3), (8, 5), (23, None),
+                           (64, None)):
+        got = loglikelihood_rolling(model, {}, ids, window=window,
+                                    stride=stride)
+        np.testing.assert_allclose(got, expect, rtol=1e-5), (window, stride)
+
+
+def test_rolling_rejects_bad_stride():
+    class Uniform:
+        def apply(self, params, ids):
+            import jax.numpy as jnp
+
+            return jnp.zeros((*ids.shape, 50), jnp.float32)
+
+    ids = np.arange(10).astype(np.int32)
+    with pytest.raises(ValueError, match="stride"):
+        loglikelihood_rolling(Uniform(), {}, ids, window=4, stride=4)
+
+
 def test_adapter_gated(lm):
     model, params = lm
     with pytest.raises(RuntimeError, match="lm_eval"):

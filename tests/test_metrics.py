@@ -160,6 +160,38 @@ class TestFacade:
         assert set(far) >= {"fid", "kid", "kid_std", "precision", "recall",
                             "density", "coverage"}
 
+    def test_fid_and_sfid_use_distinct_feature_streams(self):
+        """fid/sfid/fdd must each run their own feature net — the reference
+        keeps separate torchmetrics per choice (my_metrics.py:24-57); a
+        shared accumulator would report the identical number for all."""
+        from zigma_tpu.metrics import features
+
+        saved = dict(features._REGISTRY)
+        try:
+            features.register_extractor(
+                "inception", patch_statistics_extractor(patch=4))
+            features.register_extractor(
+                "inception_sfid", patch_statistics_extractor(patch=8))
+            rng = np.random.default_rng(3)
+            m = MyMetric(choices=["fid", "sfid"])
+            assert m._stream_of["fid"] != m._stream_of["sfid"]
+            m.update_real(rng.random((32, 3, 16, 16)))
+            m.update_fake(rng.random((32, 3, 16, 16)) * 0.5)
+            out = m.compute(sync=False)
+            assert out["fid"] != out["sfid"]
+        finally:
+            features._REGISTRY.clear()
+            features._REGISTRY.update(saved)
+
+    def test_explicit_extractor_overrides_all_streams(self):
+        rng = np.random.default_rng(4)
+        m = MyMetric(choices=["fid", "sfid"],
+                     extractor=patch_statistics_extractor(patch=4))
+        m.update_real(rng.random((16, 3, 16, 16)))
+        m.update_fake(rng.random((16, 3, 16, 16)))
+        out = m.compute(sync=False)
+        assert out["fid"] == out["sfid"]  # single custom stream, by request
+
     def test_unknown_choice_raises(self):
         with pytest.raises(ValueError):
             MyMetric(choices=["bogus"],

@@ -87,3 +87,83 @@ class TestNativeTar:
         assert n_native == 2000
         # don't be flaky: just require native not slower than python
         assert t_native < t_py * 1.5, (t_native, t_py)
+
+
+def _pax_record(key, value):
+    """PAX 'len key=value\\n' record with self-including length."""
+    body = f" {key}={value}\n".encode()
+    total = len(body)
+    while total != len(body) + len(str(total)):  # fixed point of len prefix
+        total = len(body) + len(str(total))
+    return str(total).encode() + body
+
+
+def _raw_header(name, size_field, typeflag=b"0"):
+    hdr = bytearray(512)
+    hdr[0:len(name)] = name.encode()
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = size_field
+    hdr[136:148] = b"00000000000\x00"
+    hdr[156:157] = typeflag
+    hdr[257:263] = b"ustar\x00"
+    hdr[148:156] = b"        "
+    chksum = sum(hdr)
+    hdr[148:156] = f"{chksum:06o}\x00 ".encode()
+    return bytes(hdr)
+
+
+def _pad512(b):
+    return b + b"\x00" * ((512 - len(b) % 512) % 512)
+
+
+class TestPaxSizeOverride:
+    def test_pax_size_record_overrides_stale_octal_field(self, tmp_path):
+        """Members >= 8 GiB carry their size in a PAX record while the octal
+        header field is stale; honoring only the header would desync every
+        later offset.  Craft a small archive with a deliberately wrong
+        octal field + a correct PAX size."""
+        data1 = b"hello-pax-payload"       # real size 17
+        data2 = b"after"
+        pax_payload = _pax_record("size", len(data1))
+        blob = (
+            _raw_header("a.pax", b"%011o\x00" % len(pax_payload), b"x")
+            + _pad512(pax_payload)
+            # octal field LIES (says 0); PAX record holds the real size
+            + _raw_header("a.bin", b"00000000000\x00")
+            + _pad512(data1)
+            + _raw_header("b.bin", b"%011o\x00" % len(data2))
+            + _pad512(data2)
+            + b"\x00" * 1024
+        )
+        path = str(tmp_path / "pax.tar")
+        open(path, "wb").write(blob)
+
+        # sanity: Python tarfile agrees with the PAX interpretation
+        with tarfile.open(path) as tf:
+            infos = {m.name: m.size for m in tf.getmembers()}
+        assert infos == {"a.bin": len(data1), "b.bin": len(data2)}
+
+        with NativeTar(path) as tar:
+            names = {tar.name(i): i for i in range(len(tar))}
+            assert set(names) == {"a.bin", "b.bin"}
+            assert tar.read(names["a.bin"]) == data1
+            assert tar.read(names["b.bin"]) == data2
+
+    def test_malformed_pax_record_does_not_crash(self, tmp_path):
+        """A reclen shorter than its own prefix must not underflow."""
+        bad = b"2 size=99999\n"  # reclen 2 < prefix length
+        blob = (
+            _raw_header("bad.pax", b"%011o\x00" % len(bad), b"x")
+            + _pad512(bad)
+            + _raw_header("ok.bin", b"%011o\x00" % 3)
+            + _pad512(b"abc")
+            + b"\x00" * 1024
+        )
+        path = str(tmp_path / "bad.tar")
+        open(path, "wb").write(blob)
+        with NativeTar(path) as tar:
+            names = {tar.name(i): i for i in range(len(tar))}
+            assert "ok.bin" in names
+            assert tar.read(names["ok.bin"]) == b"abc"

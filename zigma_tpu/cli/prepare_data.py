@@ -113,9 +113,11 @@ def main(argv=None):
 
             try:
                 clip = FrozenCLIPEmbedderJAX()
-            except RuntimeError:
+            except (RuntimeError, ImportError):
                 clip = FrozenCLIPEmbedder()
-        except RuntimeError as e:
+        except (RuntimeError, ImportError) as e:
+            # RuntimeError: no cached weights; ImportError: the embedder
+            # constructors import transformers/torch lazily
             print(f"note: captions stored as text only ({e})")
 
     writer = ShardWriter(args.out, shard_size=args.shard_size)

@@ -60,6 +60,9 @@ def load_params(cfg, model, example_shape):
 def build_sample_fn(cfg, sampler: Sampler):
     mode = (cfg.get("sample_mode") or "ODE").upper()
     if mode == "ODE" and cfg.get("likelihood"):
+        if float(cfg.get("cfg_scale", 1.0)) != 1.0:
+            # sample_acc.py:149-151: likelihood is incompatible with CFG
+            raise ValueError("likelihood mode requires cfg_scale == 1")
         fn = sampler.sample_ode_likelihood(
             sampling_method=cfg.ode.get("sampling_method", "dopri5"),
             num_steps=int(cfg.ode.get("num_sampling_steps", 250)),
@@ -129,12 +132,18 @@ def main(argv=None):
     cfg_scale = float(cfg.get("cfg_scale", 1.0))
 
     def _model_fn(params, y):
-        # CFG needs a float conditioning (text features) with a zero null;
-        # integer class labels have no trained null class in these configs
-        if (y is not None and cfg_scale != 1.0
-                and jnp.issubdtype(jnp.asarray(y).dtype, jnp.floating)):
+        # CFG needs a trained null conditioning: zeros for float features
+        # (text), the null-class row for integer labels — which exists only
+        # when the model trained with class_dropout_prob > 0
+        if y is not None and cfg_scale != 1.0:
             from zigma_tpu.models import ZigMa
 
+            is_float = jnp.issubdtype(jnp.asarray(y).dtype, jnp.floating)
+            if not is_float and model.class_dropout_prob <= 0:
+                raise ValueError(
+                    "cfg_scale != 1 with integer class labels requires a "
+                    "model trained with class_dropout_prob > 0 (no "
+                    "null-class row exists otherwise)")
             return lambda x, t: model.apply(
                 params, x, t, y, cfg_scale, method=ZigMa.forward_with_cfg)
         return lambda x, t: model.apply(params, x, t, y)
@@ -163,8 +172,25 @@ def main(argv=None):
     if metric_choices:
         from zigma_tpu.metrics import MyMetric
 
-        metric = MyMetric(choices=list(metric_choices))
-        if cfg.data.get("validation") and not cfg.data.get("synthetic"):
+        try:
+            if cfg.get("decode_latents"):
+                # pixel space: canonical per-choice feature nets
+                metric = MyMetric(choices=list(metric_choices))
+            else:
+                # raw latents violate the uint8/[0,255] contract of the
+                # pretrained nets — track weight-free patch statistics
+                # instead (NOT comparable to published FID)
+                from zigma_tpu.metrics import patch_statistics_extractor
+
+                logger.warning(
+                    "metrics without decode_latents run on raw latents "
+                    "with the weight-free patch-stats extractor")
+                metric = MyMetric(choices=list(metric_choices),
+                                  extractor=patch_statistics_extractor())
+        except RuntimeError as e:  # no feature nets cached locally
+            logger.warning("metrics unavailable: %s", e)
+        if metric is not None and (cfg.data.get("validation")
+                                   and not cfg.data.get("synthetic")):
             from zigma_tpu.cli.train import wds_batches
 
             real_gen = iter(wds_batches(cfg, model))
@@ -197,6 +223,22 @@ def main(argv=None):
         elif kind == "sde":
             samples = gen_sde(params, ks, z, y)
         else:
+            # likelihood evaluation scores DATA; with a real loader the
+            # input is a real batch (→ dataset NLL and its flow encoding);
+            # without one this degrades to the reference's quirk of
+            # scoring gaussian noise (sample_acc.py passes the same z to
+            # every sampler kind) — warn, the number is not a dataset NLL
+            if real_gen is not None:
+                batch = next(real_gen)
+                z = jnp.asarray(batch["x"])[:bs]
+                if latent_scale:
+                    z = z * latent_scale
+                if "y" in batch and y is not None:
+                    y = jnp.asarray(batch["y"])[:bs]
+            else:
+                logger.warning(
+                    "likelihood mode without a validation loader scores "
+                    "gaussian noise, not data (reference parity quirk)")
             logp, samples = gen_lik(params, ks, z, y)
             logger.info("mean logp: %.2f", float(jnp.mean(logp)))
         if latent_scale:

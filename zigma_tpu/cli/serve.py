@@ -86,18 +86,21 @@ class GenerationWorker:
             self.codec, IdentityCodec)
 
         self.queue: "queue.Queue[_Request]" = queue.Queue()
-        self._jit_generate = jax.jit(self._generate)
+        self._jit_generate = jax.jit(self._generate, static_argnums=(4,))
         self.compile_s = self._warmup()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
     # -- device side -------------------------------------------------------
 
-    def _generate(self, params, seed, y, cfg_scale):
+    def _generate(self, params, seed, y, cfg_scale, use_cfg):
+        # use_cfg is a PYTHON bool (two cached jit variants): plain
+        # conditional forward at cfg_scale==1 (half the compute), batched
+        # cond/uncond guidance otherwise
         z = jax.random.normal(jax.random.PRNGKey(seed),
                               (self.max_batch, *self.latent_shape))
-        if y is None:
-            model_fn = lambda x, t: self.model.apply(params, x, t)
+        if y is None or not use_cfg:
+            model_fn = lambda x, t: self.model.apply(params, x, t, y)
         else:
             model_fn = lambda x, t: self.model.apply(
                 params, x, t, y, cfg_scale, method=ZigMa.forward_with_cfg)
@@ -112,7 +115,7 @@ class GenerationWorker:
         t0 = time.time()
         for y in self._warmup_conditionings():
             np.asarray(self._jit_generate(self.params, 0, y,
-                                          jnp.float32(1.0)))
+                                          jnp.float32(1.0), False))
         return round(time.time() - t0, 1)
 
     def _warmup_conditionings(self):
@@ -132,7 +135,8 @@ class GenerationWorker:
             try:
                 arr = np.asarray(self._jit_generate(
                     self.params, req.seed, req.y,
-                    jnp.float32(req.cfg_scale)))[:req.n]
+                    jnp.float32(req.cfg_scale),
+                    req.cfg_scale != 1.0))[:req.n]
                 if self.is_latent:
                     arr = self.codec.decode(arr)
                 req.result = arr
@@ -151,6 +155,10 @@ class GenerationWorker:
         if data.get("num_classes", -1) > 0:
             if cls is None:
                 raise ValueError("class-conditional model: 'cls' required")
+            if cfg_scale != 1.0 and self.model.class_dropout_prob <= 0:
+                raise ValueError(
+                    "cfg_scale != 1 needs a model trained with "
+                    "class_dropout_prob > 0 (no null-class row exists)")
             y = jnp.full((self.max_batch,), int(cls), jnp.int32)
         elif data.get("has_text"):
             if caption is None:

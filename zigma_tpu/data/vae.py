@@ -165,20 +165,28 @@ def _find_vae_state_dict(model_id: str):
 def get_codec(kind: str = "auto", **kw) -> LatentCodec:
     """'identity' | 'sd-vae' (native JAX, torch/diffusers fallback) |
     'auto' (sd-vae if locally cached else identity with a warning)."""
+
+    def torch_codec():
+        # TorchVAECodec takes only model_id — the JAX-only kwargs
+        # (sample_posterior/seed/...) must not reach it, and a missing
+        # torch/diffusers import must read as "unavailable", not TypeError
+        return TorchVAECodec(**{k: v for k, v in kw.items()
+                                if k == "model_id"})
+
     if kind == "identity":
         return IdentityCodec()
     if kind == "sd-vae":
         try:
             return JAXVAECodec(**kw)
         except RuntimeError:
-            return TorchVAECodec(**kw)
+            return torch_codec()
     try:
         return JAXVAECodec(**kw)
     except RuntimeError:
         pass
     try:
-        return TorchVAECodec(**kw)
-    except RuntimeError:
+        return torch_codec()
+    except (RuntimeError, ImportError):
         import logging
 
         logging.getLogger("zigma").warning(

@@ -398,6 +398,9 @@ class WebDataModuleFromConfig:
             transforms=transforms,
             rename=cfg.get("rename"),
             postprocess=cfg.get("postprocess"),
+            # val/test are finite single passes (an eval loop must see
+            # StopIteration); only the train stream loops forever
+            repeat=train,
         )
 
     def train_dataloader(self):

@@ -71,11 +71,17 @@ def loglikelihood_rolling(model, params, token_ids, window: int,
     Each window scores only its last ``stride`` tokens (the rest is
     re-consumed context), so every token past the first window gets
     ``window - stride`` tokens of context.  O(L/stride) forward passes.
+
+    ``stride`` must be < ``window``: a window's first token is context
+    only (scoring position t needs token t-1 in the same window), so at
+    least one slot per window is not scorable.  ``stride == window``
+    would silently skip one token per window.
     """
     ids = np.asarray(token_ids, np.int32)
-    stride = stride or window
-    if stride > window:
-        raise ValueError("stride must be <= window")
+    stride = stride or window - 1
+    if not 1 <= stride < window:
+        raise ValueError(f"stride must be in [1, window-1], got {stride} "
+                         f"for window {window}")
     total = 0.0
     pos = 0  # first unscored token (token 0 is never scored: no context)
     n = len(ids)

@@ -52,11 +52,37 @@ class MyMetric:
         if unknown:
             raise ValueError(f"unknown metric choices: {unknown}")
         self.choices = list(choices)
-        if extractor is None:
-            from zigma_tpu.metrics.features import get_extractor
 
-            extractor = get_extractor("inception")
-        self.extractor = extractor
+        # Each Frechet-family choice needs ITS OWN feature net (fid: 2048-d
+        # Inception pool, sfid: spatial Mixed-6e slice, fdd: DINOv2, fvd:
+        # I3D) and its own moments, exactly like the reference's separate
+        # torchmetrics (my_metrics.py:24-57).  An explicitly passed
+        # ``extractor`` overrides ALL image streams (custom/smoke use);
+        # otherwise each choice resolves its canonical net.
+        from zigma_tpu.metrics.features import get_extractor
+
+        self._stream_of = {}   # choice -> stream name
+        self.extractors = {}   # stream name -> callable
+        main = extractor
+        for c in self.choices:
+            if c == "is":
+                continue
+            if extractor is None and c in ("sfid", "fdd"):
+                stream = c
+                self.extractors.setdefault(
+                    stream,
+                    get_extractor({"sfid": "inception_sfid",
+                                   "fdd": "dinov2"}[c]))
+            else:
+                stream = "main"
+                if main is None:
+                    main = get_extractor("inception")
+                self.extractors.setdefault(stream, main)
+            self._stream_of[c] = stream
+        if not self.extractors:  # "is"-only containers still accept updates
+            self.extractors["main"] = (main if main is not None
+                                       else get_extractor("inception"))
+        self.extractor = self.extractors.get("main")  # back-compat attr
         self.logits_extractor = logits_extractor
         self.kid_subset_size = kid_subset_size
         self.prdc_k = prdc_k
@@ -71,33 +97,41 @@ class MyMetric:
         self.fake_logits: list = []
         self.n_real = 0
         self.n_fake = 0
-        self.real_mom: Optional[RunningMoments] = None
-        self.fake_mom: Optional[RunningMoments] = None
+        self.real_mom: dict = {}   # stream -> RunningMoments
+        self.fake_mom: dict = {}
 
-    def _feats(self, imgs):
-        f = np.asarray(self.extractor(np.asarray(imgs)))
+    def _feats(self, imgs, stream="main"):
+        f = np.asarray(self.extractors[stream](np.asarray(imgs)))
         assert f.ndim == 2, f.shape
         return f
 
     def _need_raw(self):
         return any(c in self.choices for c in ("kid", "prdc"))
 
+    def _update(self, imgs, moments: dict) -> Optional[np.ndarray]:
+        """Run every stream's extractor once, fold into ``moments``;
+        returns the main-stream features (for kid/prdc raw storage)."""
+        imgs = np.asarray(imgs)
+        main_f = None
+        for stream in self.extractors:
+            f = self._feats(imgs, stream)
+            if stream not in moments:
+                moments[stream] = RunningMoments(f.shape[1])
+            moments[stream].update(f)
+            if stream == "main":
+                main_f = f
+        return main_f
+
     def update_real(self, imgs):
-        f = self._feats(imgs)
-        if self.real_mom is None:
-            self.real_mom = RunningMoments(f.shape[1])
-        self.real_mom.update(f)
-        self.n_real += f.shape[0]
-        if self._need_raw() and self.n_real <= self.max_stored:
+        f = self._update(imgs, self.real_mom)
+        self.n_real += np.asarray(imgs).shape[0]
+        if f is not None and self._need_raw() and self.n_real <= self.max_stored:
             self.real_feats.append(f)
 
     def update_fake(self, imgs):
-        f = self._feats(imgs)
-        if self.fake_mom is None:
-            self.fake_mom = RunningMoments(f.shape[1])
-        self.fake_mom.update(f)
-        self.n_fake += f.shape[0]
-        if self._need_raw() and self.n_fake <= self.max_stored:
+        f = self._update(imgs, self.fake_mom)
+        self.n_fake += np.asarray(imgs).shape[0]
+        if f is not None and self._need_raw() and self.n_fake <= self.max_stored:
             self.fake_feats.append(f)
         if "is" in self.choices:
             if self.logits_extractor is None:
@@ -115,8 +149,8 @@ class MyMetric:
             # the empty placeholder must match the other processes' feature
             # dim or process_allgather rejects the mismatched shapes
             if dim is None:
-                dim = (self.fake_mom or self.real_mom).dim if (
-                    self.fake_mom or self.real_mom) else 1
+                mom = (self.fake_mom.get("main") or self.real_mom.get("main"))
+                dim = mom.dim if mom else 1
             local = np.zeros((0, dim), np.float64)
         if jax.process_count() <= 1:
             return local
@@ -126,31 +160,33 @@ class MyMetric:
             multihost_utils.process_allgather(local)).reshape(
                 -1, local.shape[-1])
 
+    @staticmethod
+    def _merged(mom: RunningMoments) -> RunningMoments:
+        from jax.experimental import multihost_utils
+
+        merged = RunningMoments(mom.dim)
+        st = {k: np.asarray(multihost_utils.process_allgather(v))
+              for k, v in mom.state().items()}
+        merged.n = int(st["n"].sum())
+        merged.sum = st["sum"].reshape(-1, mom.dim).sum(0)
+        merged.outer = st["outer"].reshape(-1, mom.dim, mom.dim).sum(0)
+        return merged
+
     def compute(self, sync: bool = True) -> dict:
         import jax
 
         real_mom, fake_mom = self.real_mom, self.fake_mom
-        if sync and jax.process_count() > 1 and real_mom is not None:
-            from jax.experimental import multihost_utils
-
-            merged_r = RunningMoments(real_mom.dim)
-            merged_f = RunningMoments(fake_mom.dim)
-            for mom, merged in ((real_mom, merged_r), (fake_mom, merged_f)):
-                st = {k: np.asarray(multihost_utils.process_allgather(v))
-                      for k, v in mom.state().items()}
-                merged.n = int(st["n"].sum())
-                merged.sum = st["sum"].reshape(-1, mom.dim).sum(0)
-                merged.outer = st["outer"].reshape(-1, mom.dim, mom.dim).sum(0)
-            real_mom, fake_mom = merged_r, merged_f
+        if sync and jax.process_count() > 1 and real_mom:
+            real_mom = {k: self._merged(v) for k, v in real_mom.items()}
+            fake_mom = {k: self._merged(v) for k, v in fake_mom.items()}
 
         out = {}
-        if any(c in self.choices for c in ("fid", "sfid", "fdd", "fvd")):
-            mu_r, cov_r = real_mom.finalize()
-            mu_f, cov_f = fake_mom.finalize()
-            fd = frechet_distance(mu_r, cov_r, mu_f, cov_f)
-            for c in ("fid", "sfid", "fdd", "fvd"):
-                if c in self.choices:
-                    out[c] = fd
+        for c in ("fid", "sfid", "fdd", "fvd"):
+            if c in self.choices:
+                stream = self._stream_of[c]
+                mu_r, cov_r = real_mom[stream].finalize()
+                mu_f, cov_f = fake_mom[stream].finalize()
+                out[c] = frechet_distance(mu_r, cov_r, mu_f, cov_f)
         if "kid" in self.choices or "prdc" in self.choices:
             real = self._gather(self.real_feats) if sync else (
                 np.concatenate(self.real_feats) if self.real_feats else

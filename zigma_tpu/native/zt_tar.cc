@@ -60,6 +60,12 @@ bool index_archive(Archive* a) {
   uint64_t off = 0;
   char hdr[512];
   std::string pending_longname;
+  // PAX overrides for the NEXT entry; sentinel = no override.  'size'
+  // matters for members >= 8 GiB, where the octal header field cannot hold
+  // the real size (Python tarfile writes PAX by default) — using the stale
+  // header size would desync every subsequent offset.
+  constexpr uint64_t kNoSize = ~uint64_t(0);
+  uint64_t pending_size = kNoSize;
 
   while (off + 512 <= fsize) {
     if (pread(a->fd, hdr, 512, static_cast<off_t>(off)) != 512) return false;
@@ -69,10 +75,9 @@ bool index_archive(Archive* a) {
       if (hdr[i]) { all_zero = false; break; }
     if (all_zero) break;
 
-    const uint64_t size = parse_num(hdr + 124, 12);
+    uint64_t size = parse_num(hdr + 124, 12);
     const char typeflag = hdr[156];
     const uint64_t payload = off + 512;
-    const uint64_t padded = (size + 511) & ~uint64_t(511);
 
     if (typeflag == 'L') {  // GNU long name: payload is the next entry's name
       std::vector<char> buf(size + 1, 0);
@@ -92,14 +97,26 @@ bool index_archive(Archive* a) {
         while (sp < size && buf[sp] != ' ') sp++;
         if (sp >= size) break;
         unsigned long reclen = strtoul(&buf[pos], nullptr, 10);
-        if (reclen == 0 || pos + reclen > size) break;
-        std::string rec(&buf[sp + 1], reclen - (sp + 1 - pos) - 1);  // drop \n
+        const size_t lenlen = sp + 1 - pos;  // digits + space
+        // malformed reclen (0, shorter than its own prefix, or past the
+        // buffer) would underflow the value length below — stop parsing
+        if (reclen <= lenlen || pos + reclen > size) break;
+        std::string rec(&buf[sp + 1], reclen - lenlen - 1);  // drop \n
         size_t eq = rec.find('=');
-        if (eq != std::string::npos && rec.substr(0, eq) == "path")
-          pending_longname = rec.substr(eq + 1);
+        if (eq != std::string::npos) {
+          const std::string key = rec.substr(0, eq);
+          if (key == "path")
+            pending_longname = rec.substr(eq + 1);
+          else if (key == "size")
+            pending_size = strtoull(rec.c_str() + eq + 1, nullptr, 10);
+        }
         pos += reclen;
       }
     } else if (typeflag == '0' || typeflag == '\0') {  // regular file
+      if (pending_size != kNoSize) {
+        size = pending_size;
+        pending_size = kNoSize;
+      }
       std::string name;
       if (!pending_longname.empty()) {
         name.swap(pending_longname);
@@ -115,8 +132,11 @@ bool index_archive(Archive* a) {
       if (!name.empty() && name.back() != '/')
         a->members.push_back({std::move(name), payload, size});
     } else {
-      pending_longname.clear();  // 'x' pax headers etc: skip payload
+      // non-file entries consume any pending PAX/longname overrides
+      pending_longname.clear();
+      pending_size = kNoSize;
     }
+    const uint64_t padded = (size + 511) & ~uint64_t(511);
     off = payload + padded;
   }
   return true;
