@@ -54,7 +54,10 @@ def load_params(cfg, model, example_shape):
                         example_conditioning(cfg, example_shape[0]))
     state = TrainState.create(params, create_optimizer())
     state = restore_checkpoint(path, jax.device_get(state))
-    return state.ema_params
+    # orbax restores into the HOST-side template: device_put once here, or
+    # every jitted generate call re-uploads the full parameter tree (533 MB
+    # for the flagship — measured 5x sampling slowdown through the relay)
+    return jax.tree.map(jnp.asarray, state.ema_params)
 
 
 def build_sample_fn(cfg, sampler: Sampler):
