@@ -164,6 +164,22 @@ train:
     fakes = batched_gen(state.ema_params, 100)
     fakes_raw = batched_gen(state.params, 100)
 
+    # SDE path (Euler–Maruyama, sigma form + Mean last step — the
+    # reference's shipped SDE config) from the same EMA weights
+    sde_fn = Sampler(create_transport("Linear", "velocity")).sample_sde(
+        sampling_method="Euler", diffusion_form="sigma",
+        last_step="Mean", last_step_size=0.04, num_steps=50)
+
+    @jax.jit
+    def gen_sde(params, key):
+        kz, ks = jax.random.split(key)
+        z = jax.random.normal(kz, (64, 3, 32, 32))
+        return sde_fn(ks, z, lambda x, t: model.apply(params, x, t))[-1]
+
+    fakes_sde = np.concatenate([
+        np.asarray(gen_sde(state.ema_params, jax.random.PRNGKey(300 + i)))
+        for i in range(args.n_sample // 64)])
+
     print("[5/5] metrics (patch-statistics FID)", flush=True)
     from PIL import Image
 
@@ -191,6 +207,8 @@ train:
     results = {
         "fid_model_vs_real": fid(reals[:half], fake_u8),
         "fid_raw_model_vs_real": fid(reals[:half], to_uint8_images(fakes_raw)),
+        "fid_sde_model_vs_real": fid(reals[:half],
+                                     to_uint8_images(fakes_sde)),
         "fid_noise_vs_real": fid(reals[:half], noise_u8),
         "fid_real_vs_real": fid(reals[:half], reals[half:half * 2]),
         "train_steps": args.steps,
@@ -211,6 +229,8 @@ train:
 
     assert results["fid_model_vs_real"] < 0.5 * results["fid_noise_vs_real"], \
         "model samples are no closer to the data than noise — not learning"
+    assert results["fid_sde_model_vs_real"] < \
+        0.5 * results["fid_noise_vs_real"], "SDE sampling path not learning"
     return results
 
 
