@@ -1,0 +1,120 @@
+"""Numerical parity vs the reference's OWN golden models.
+
+Loads the reference's pure-torch ``selective_scan_ref`` and
+``causal_conv1d_ref`` (the functions its CUDA kernels are tested against,
+dis_mamba/tests/ops/test_selective_scan.py:18-150) with the CUDA extension
+modules stubbed out, and compares our JAX backends on identical inputs.
+Passing here means agreement with the exact sequential semantics the
+reference kernels are certified against.  Skipped when /root/reference is
+absent.
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+def _load_reference_refs():
+    if not os.path.isdir(REFERENCE):
+        return None
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        return None
+    # stub the CUDA extension modules the interface files import eagerly
+    for stub in ("causal_conv1d_cuda", "selective_scan_cuda"):
+        sys.modules.setdefault(stub, types.ModuleType(stub))
+    for p in (os.path.join(REFERENCE, "dis_mamba"),
+              os.path.join(REFERENCE, "dis_causal_conv1d")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    try:
+        cc = importlib.import_module(
+            "causal_conv1d.causal_conv1d_interface")
+        spec = importlib.util.spec_from_file_location(
+            "ref_ss_interface",
+            os.path.join(REFERENCE, "dis_mamba", "mamba_ssm", "ops",
+                         "selective_scan_interface.py"))
+        ss = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ss)
+    except Exception:
+        return None
+    return ss.selective_scan_ref, cc.causal_conv1d_ref
+
+
+_refs = _load_reference_refs()
+pytestmark = pytest.mark.skipif(_refs is None,
+                                reason="reference golden models unavailable")
+
+
+def _t(x):
+    import torch
+
+    return torch.from_numpy(np.asarray(x))
+
+
+@pytest.mark.parametrize("L", [32, 128, 151])
+@pytest.mark.parametrize("with_z", [False, True])
+def test_selective_scan_matches_reference_golden(L, with_z):
+    """Our selective_scan vs the reference's sequential golden model,
+    variable B/C, delta bias + softplus + D skip (+ z gating)."""
+    selective_scan_ref, _ = _refs
+    rng = np.random.default_rng(L + with_z)
+    B_, D, N = 2, 6, 8
+    u = rng.standard_normal((B_, D, L)).astype(np.float32)
+    delta = (0.1 * np.abs(rng.standard_normal((B_, D, L)))).astype(np.float32)
+    A = (-np.abs(rng.standard_normal((D, N)))).astype(np.float32)
+    Bv = rng.standard_normal((B_, N, L)).astype(np.float32)
+    Cv = rng.standard_normal((B_, N, L)).astype(np.float32)
+    Dskip = rng.standard_normal(D).astype(np.float32)
+    dbias = (0.1 * rng.standard_normal(D)).astype(np.float32)
+    z = rng.standard_normal((B_, D, L)).astype(np.float32) if with_z else None
+
+    ref_out, ref_last = selective_scan_ref(
+        _t(u), _t(delta), _t(A), _t(Bv), _t(Cv), D=_t(Dskip),
+        z=_t(z) if with_z else None, delta_bias=_t(dbias),
+        delta_softplus=True, return_last_state=True)
+
+    from zigma_tpu.ops.selective_scan import selective_scan
+
+    for backend in ("ref", "chunked"):
+        # our layout: u (B, L, D); B/C (B, L, N)
+        out, last = selective_scan(
+            np.transpose(u, (0, 2, 1)), np.transpose(delta, (0, 2, 1)),
+            A, np.transpose(Bv, (0, 2, 1)), np.transpose(Cv, (0, 2, 1)),
+            D=Dskip, z=np.transpose(z, (0, 2, 1)) if with_z else None,
+            delta_bias=dbias, delta_softplus=True, return_last_state=True,
+            backend=backend)
+        np.testing.assert_allclose(
+            np.asarray(out), np.transpose(ref_out.numpy(), (0, 2, 1)),
+            rtol=2e-4, atol=2e-4, err_msg=f"backend={backend}")
+        # last state: (B, D, N) in both (reference: x[:,:,-1,1::2])
+        np.testing.assert_allclose(
+            np.asarray(last), ref_last.numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f"backend={backend} last")
+
+
+@pytest.mark.parametrize("W", [2, 3, 4])
+@pytest.mark.parametrize("act", [None, "silu"])
+def test_causal_conv1d_matches_reference_golden(W, act):
+    _, causal_conv1d_ref = _refs
+    rng = np.random.default_rng(W)
+    B_, D, L = 2, 5, 37
+    x = rng.standard_normal((B_, D, L)).astype(np.float32)
+    w = rng.standard_normal((D, W)).astype(np.float32)
+    b = rng.standard_normal(D).astype(np.float32)
+
+    ref = causal_conv1d_ref(_t(x), _t(w), _t(b), activation=act)
+
+    from zigma_tpu.ops.causal_conv1d import causal_conv1d
+
+    ours = causal_conv1d(np.transpose(x, (0, 2, 1)), w, b, activation=act)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.transpose(ref.numpy(), (0, 2, 1)),
+        rtol=2e-5, atol=2e-5)
