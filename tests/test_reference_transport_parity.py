@@ -132,3 +132,30 @@ def test_drift_diffusion_and_conversions(idx):
     n_m = mine.get_noise_from_velocity(v, x, t)
     np.testing.assert_allclose(np.asarray(n_r), np.asarray(n_m),
                                rtol=2e-5, atol=1e-5)
+
+
+def test_center_crop_arr_matches_reference():
+    """ADM center crop: byte-identical output vs the reference's
+    implementation (resampling kernel choices change FID inputs)."""
+    import importlib.util
+
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_utils", os.path.join(REFERENCE, "utils", "train_utils.py"))
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        pytest.skip("reference train_utils not importable")
+
+    from zigma_tpu.data.video import center_crop_arr
+
+    rng = np.random.default_rng(0)
+    for w, h, size in ((300, 200, 64), (127, 255, 96), (64, 64, 64),
+                       (500, 500, 256)):
+        img = Image.fromarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        ref = np.asarray(mod.center_crop_arr(img, size))
+        ours = np.asarray(center_crop_arr(img, size))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{w}x{h}->{size}")
