@@ -149,6 +149,13 @@ class TestReader:
         for _ in range(4):  # train repeats past one epoch
             next(it)
 
+        # a finite eval pass must keep the partial tail batch
+        dm3 = WebDataModuleFromConfig(
+            tar_base=str(tmp_path), batch_size=4, image_size=8,
+            multinode=False, train=spec, validation=spec, val_batch_size=3)
+        sizes = [b["latent"].shape[0] for b in dm3.val_dataloader()]
+        assert sizes == [3, 3, 2]  # 8 samples -> 3+3+2, nothing dropped
+
 
 def _latent_bytes(i):
     latent = np.random.default_rng(i).normal(size=(4, 8, 8)).astype(np.float32)

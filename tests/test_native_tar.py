@@ -78,13 +78,14 @@ class TestNativeTar:
                 for m in tf:
                     if m.isfile():
                         tf.extractfile(m).read()
-                count += 1
+                        count += 1
             return count
 
         t0 = time.perf_counter()
-        tarfile_pass()
+        n_py = tarfile_pass()
         t_py = time.perf_counter() - t0
-        assert n_native == 2000
+        assert n_native == 2000          # samples
+        assert n_py == 2 * n_native      # members (2 per sample)
         # don't be flaky: just require native not slower than python
         assert t_native < t_py * 1.5, (t_native, t_py)
 

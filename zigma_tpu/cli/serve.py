@@ -74,7 +74,9 @@ class GenerationWorker:
                                   (max_batch, *self.latent_shape))
         mode, fn = build_sample_fn(cfg, Sampler(create_transport(
             cfg.train.get("path_type", "Linear"),
-            cfg.train.get("prediction", "velocity"))))
+            cfg.train.get("prediction", "velocity"),
+            cfg.train.get("loss_weight"),
+            cfg.train.get("train_eps"), cfg.train.get("sample_eps"))))
         if mode != "ode":
             raise ValueError("serve supports sample_mode=ODE")
         self._ode = fn
@@ -111,11 +113,22 @@ class GenerationWorker:
             out = out / LATENT_SCALE
         return out
 
+    def _cfg_supported(self):
+        data = self.cfg.data
+        if data.get("num_classes", -1) > 0:
+            return self.model.class_dropout_prob > 0
+        return bool(data.get("has_text"))
+
     def _warmup(self):
         t0 = time.time()
         for y in self._warmup_conditionings():
             np.asarray(self._jit_generate(self.params, 0, y,
                                           jnp.float32(1.0), False))
+            if y is not None and self._cfg_supported():
+                # also compile the guided variant: the first cfg request
+                # must not pay a full XLA compile inside the request path
+                np.asarray(self._jit_generate(self.params, 0, y,
+                                              jnp.float32(2.0), True))
         return round(time.time() - t0, 1)
 
     def _warmup_conditionings(self):
@@ -155,6 +168,11 @@ class GenerationWorker:
         if data.get("num_classes", -1) > 0:
             if cls is None:
                 raise ValueError("class-conditional model: 'cls' required")
+            n_cls = int(data["num_classes"])
+            if not 0 <= int(cls) < n_cls:
+                # nn.Embed clamps out-of-range indices onto the last row
+                # (the CFG null class) — reject instead of serving it
+                raise ValueError(f"cls must be in [0, {n_cls})")
             if cfg_scale != 1.0 and self.model.class_dropout_prob <= 0:
                 raise ValueError(
                     "cfg_scale != 1 needs a model trained with "
@@ -187,6 +205,8 @@ def _to_png_b64(arr):
     if arr.ndim == 4:  # video: first frame
         arr = arr[0]
     u8 = to_uint8_images(arr[None])[0]
+    if u8.shape[0] < 3:  # grayscale / 2-channel models: tile channel 0
+        u8 = np.repeat(u8[:1], 3, axis=0)
     img = Image.fromarray(np.transpose(u8[:3], (1, 2, 0)))
     buf = io.BytesIO()
     img.save(buf, format="PNG")

@@ -108,7 +108,7 @@ def wds_batches(cfg: Config, model: ZigMa):
                 # stored clips longer than the model window: random temporal
                 # crop per batch (the reference's celebav family,
                 # train_acc.py:309-317)
-                start = int(rng.integers(0, x.shape[1] - n_frames))
+                start = int(rng.integers(0, x.shape[1] - n_frames + 1))
                 x = x[:, start:start + n_frames]
             batch = {"x": x}
             if "cls_id" in raw:

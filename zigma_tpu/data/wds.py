@@ -399,8 +399,11 @@ class WebDataModuleFromConfig:
             rename=cfg.get("rename"),
             postprocess=cfg.get("postprocess"),
             # val/test are finite single passes (an eval loop must see
-            # StopIteration); only the train stream loops forever
+            # StopIteration) and keep the partial tail batch; the train
+            # stream loops forever with full batches only (the reference's
+            # .batched(bs, partial=False), wds_dataloader.py:151)
             repeat=train,
+            partial=not train,
         )
 
     def train_dataloader(self):

@@ -61,6 +61,10 @@ class MyMetric:
         # otherwise each choice resolves its canonical net.
         from zigma_tpu.metrics.features import get_extractor
 
+        if "fvd" in choices and extractor is None and type(self) is MyMetric:
+            raise ValueError(
+                "fvd needs video-shaped features: use VideoMetric (or pass "
+                "an explicit video extractor)")
         self._stream_of = {}   # choice -> stream name
         self.extractors = {}   # stream name -> callable
         main = extractor

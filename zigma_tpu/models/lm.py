@@ -17,7 +17,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 import flax.linen as nn
