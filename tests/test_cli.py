@@ -219,6 +219,25 @@ train:
 
 
 class TestSampleCLI:
+    def test_load_params_returns_device_arrays(self, tmp_path):
+        """orbax restores into a HOST numpy template; load_params must
+        device_put once or every jitted generate call re-uploads the whole
+        tree (measured 5x sampling slowdown on the TPU relay)."""
+        from zigma_tpu.cli.sample import load_params
+        from zigma_tpu.cli.train import build_model, main as train_main
+        from zigma_tpu.config import load_config
+
+        out = str(tmp_path / "out")
+        train_main(TINY + [f"results_dir={out}", "data.train_steps=2"])
+        run = os.listdir(out)[0]
+        ckpt_dir = os.path.join(out, run, "checkpoints")
+        ckpt = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[-1])
+
+        cfg = load_config(CONFIG_DIR, "default", TINY + [f"ckpt={ckpt}"])
+        params = load_params(cfg, build_model(cfg), (2, 4, 8, 8))
+        leaves = jax.tree.leaves(params)
+        assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
     def test_sample_from_trained_ckpt(self, tmp_path):
         from zigma_tpu.cli.train import main as train_main
         from zigma_tpu.cli.sample import main as sample_main
