@@ -143,3 +143,66 @@ def test_unaligned_L_last_state_raises():
     u, delta, B, C = u[:, :100], delta[:, :100], B[:, :100], C[:, :100]
     with pytest.raises(NotImplementedError, match="divisible"):
         selective_scan_pallas(u, delta, A, B, C, return_last_state=True)
+
+
+# ---------------------------------------------------------------------------
+# shape envelope: the reference supports d_state up to 256
+# (selective_scan.cpp:262); the kernel must shrink its blocks to fit VMEM
+# rather than hand Mosaic an oversized scratch allocation
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("N", [16, 64, 256])
+def test_large_N_fwd_parity(N):
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(12),
+                                            batch=1, L=256, D=256, N=N)
+    bias = jnp.full((u.shape[-1],), 0.1, jnp.float32)
+    y_ref = selective_scan_ref(u, delta, A, B, C, Dskip, z=None,
+                               delta_bias=bias, delta_softplus=True)
+    y_pal = selective_scan_pallas(u, delta, A, B, C, Dskip, z=None,
+                                  delta_bias=bias, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("N", [64, 256])
+def test_large_N_grads(N):
+    u, delta, A, B, C, _ = _make_inputs(jax.random.PRNGKey(13),
+                                        batch=1, L=128, D=256, N=N)
+
+    def loss(fn):
+        def f(u, delta, A, B, C):
+            return jnp.sum(jnp.cos(fn(u, delta, A, B, C,
+                                      delta_softplus=True)))
+        return f
+
+    g_pal = jax.grad(loss(selective_scan_pallas), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    g_ref = jax.grad(loss(selective_scan_ref), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    for n, gp, gr in zip(["du", "ddelta", "dA", "dB", "dC"], g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"grad mismatch: {n}")
+
+
+def test_shape_supported_guard():
+    from zigma_tpu.ops.scan_pallas import pallas_shape_supported
+
+    # flagship and the reference's full d_state range all have a blocking
+    assert pallas_shape_supported(1024, 1536, 16, jnp.bfloat16)
+    assert pallas_shape_supported(1024, 1536, 16, jnp.float32)
+    assert pallas_shape_supported(256, 256, 256, jnp.float32)
+    assert pallas_shape_supported(16384, 1536, 16, jnp.bfloat16)
+    # pathological d_state: no blocking fits -> auto must use chunked
+    assert not pallas_shape_supported(256, 256, 8192, jnp.float32)
+
+    from zigma_tpu.ops.selective_scan import selective_scan
+    u, delta, A, B, C, _ = _make_inputs(jax.random.PRNGKey(14),
+                                        batch=1, L=64, D=128, N=16)
+    A_huge = jnp.tile(A, (1, 512))  # N = 8192
+    B_huge = jnp.tile(B, (1, 1, 512))
+    C_huge = jnp.tile(C, (1, 1, 512))
+    # auto dispatch must not raise (falls back to a jnp backend)
+    y = selective_scan(u, delta, A_huge, B_huge, C_huge, backend="auto")
+    assert jnp.all(jnp.isfinite(y))

@@ -138,7 +138,25 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-def _blocks(L, D, block_l, block_d, group):
+# VMEM scratch budget for the (BL, N, BD) buffers.  v5e has ~128 MiB of
+# VMEM per core; leave the rest for the double-buffered input/output block
+# streams.  The reference CUDA kernel makes the same tradeoff by shrinking
+# kNItems as dstate grows (selective_scan.cpp:262 caps dstate at 256).
+_VMEM_SCRATCH_BUDGET = 32 * 1024 * 1024
+
+
+def _blocks(L, D, N, itemsize, block_l, block_d, group):
+    """Pick (BL, BD) so the kernel's VMEM scratch fits the budget.
+
+    The scratch model is the BACKWARD kernel's (3 chunk-dtype (BL, N, BD)
+    buffers + 1 fp32 + 2 fp32 (N, BD) carries) — the tighter of the two —
+    for BOTH kernels, so fwd and bwd always agree on BL: the bwd consumes
+    the fwd's (B, n_chunks, N, D) carries and n_chunks = L/BL must match.
+    When the flagship-tuned blocks overflow (large N), BD shrinks first (to
+    one 128-lane tile), then BL (to the loop group) — extending the envelope
+    to the reference's full d_state <= 256 range instead of letting Mosaic
+    fail on an oversized allocation.
+    """
     BL = min(block_l, L)
     BD = min(block_d, D)
     while D % BD:
@@ -148,7 +166,35 @@ def _blocks(L, D, block_l, block_d, group):
             f"pallas scan needs block_l ({BL}) to divide L ({L}) and the "
             f"loop group ({group}) to divide block_l; pad L to a multiple "
             f"of {group} or use backend='chunked'")
+
+    def scratch_bytes(bl, bd):
+        return bl * N * bd * (3 * itemsize + 4) + 2 * N * bd * 4
+
+    while scratch_bytes(BL, BD) > _VMEM_SCRATCH_BUDGET and BD > 128:
+        BD //= 2  # halving a divisor of D keeps it a divisor
+    while (scratch_bytes(BL, BD) > _VMEM_SCRATCH_BUDGET and BL > group
+           and BL % 2 == 0 and (BL // 2) % group == 0):
+        BL //= 2
+    if scratch_bytes(BL, BD) > _VMEM_SCRATCH_BUDGET:
+        raise ValueError(
+            f"pallas scan state (N={N}, d_block={BD}) does not fit the VMEM "
+            f"scratch budget at any block size; use backend='chunked'")
     return BL, BD, L // BL
+
+
+def pallas_shape_supported(L: int, D: int, N: int, dtype=None) -> bool:
+    """Whether the Pallas kernel (fwd AND bwd) has a valid blocking for this
+    shape.  ``selective_scan``'s auto-dispatch queries this so no publicly
+    reachable shape can hit a Mosaic allocation failure — it degrades to the
+    chunked jnp backend instead."""
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    align = 8 if L <= 128 else 128
+    Lp = -(-L // align) * align  # the kernel pads unaligned L itself
+    try:
+        _blocks(Lp, D, N, itemsize, 128, 256, 4)
+        return True
+    except ValueError:
+        return False
 
 
 @functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
@@ -169,7 +215,8 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
     """
     batch, L, D = u.shape
     N = A.shape[1]
-    BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group)
+    cdtype_size = 2 if u.dtype == jnp.bfloat16 else 4
+    BL, BD, n_chunks = _blocks(L, D, N, cdtype_size, block_l, block_d, group)
 
     At = jnp.asarray(A, jnp.float32).T  # (N, D)
     # B/C packed on a 2-wide lane dim: native lane broadcast per (t, n) and
@@ -360,7 +407,9 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
     output and dz/dD are also returned."""
     batch, L, D = u.shape
     N = A.shape[1]
-    BL, BD, n_chunks = _blocks(L, D, block_l, block_d, group=4)
+    cdtype_size = 2 if u.dtype == jnp.bfloat16 else 4
+    BL, BD, n_chunks = _blocks(L, D, N, cdtype_size, block_l, block_d,
+                               group=4)
     nD = D // BD
 
     At = jnp.asarray(A, jnp.float32).T

@@ -450,12 +450,18 @@ def selective_scan(
     chunked for variable B/C, assoc for static B/C.
     """
     if backend == "auto":
-        from zigma_tpu.ops.scan_pallas import pallas_seq_aligned
+        from zigma_tpu.ops.scan_pallas import (
+            pallas_seq_aligned, pallas_shape_supported)
 
         variable_bc = B.ndim == 3 and C.ndim == 3
         # the pallas backend auto-pads unaligned L, except when the final
-        # state is requested (padding would evolve it past position L-1)
-        pallas_ok = pallas_seq_aligned(u.shape[1]) or not return_last_state
+        # state is requested (padding would evolve it past position L-1);
+        # shapes whose VMEM scratch can't be blocked (very large d_state)
+        # degrade to the chunked jnp path instead of a Mosaic failure
+        pallas_ok = (
+            (pallas_seq_aligned(u.shape[1]) or not return_last_state)
+            and pallas_shape_supported(u.shape[1], u.shape[2], A.shape[1],
+                                       u.dtype))
         if (variable_bc and pallas_ok
                 and jax.default_backend() == "tpu"):
             backend = "pallas"
