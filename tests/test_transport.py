@@ -189,3 +189,63 @@ class TestSamplers:
         logp, z = fn(jax.random.PRNGKey(1), x, model)
         np.testing.assert_allclose(z, x, atol=1e-5)
         np.testing.assert_allclose(logp, transport.prior_logp(x), rtol=1e-4)
+
+
+class TestDopri5VsScipy:
+    """Tolerance-swept cross-validation of the native adaptive dopri5.
+
+    The reference integrates with torchdiffeq's dopri5
+    (/root/reference/transport/integrators.py:83-123).  torchdiffeq is not
+    in this image, so scipy's RK45 — the SAME Dormand-Prince 5(4) pair and
+    tableau — stands in as the independent implementation.  SURVEY §7.3
+    hard part 3 warns solver differences move FID; this pins that the
+    native solver's terminal error (a) scales down with tolerance and
+    (b) stays within a small constant of scipy's at equal tolerance.
+    """
+
+    B, D = 2, 8
+
+    def _drift_np(self, t, x_flat):
+        x = x_flat.reshape(self.B, self.D)
+        i = np.arange(self.D) + 1.0
+        v = (np.tanh(x[:, ::-1] * 0.7) * np.cos(3.0 * t) * i
+             - x * (1.0 + 0.5 * np.sin(8.0 * t)))
+        return v.reshape(-1)
+
+    def _drift_jax(self, x, t_batch):
+        t = t_batch[0]
+        i = jnp.arange(self.D) + 1.0
+        return (jnp.tanh(x[:, ::-1] * 0.7) * jnp.cos(3.0 * t) * i
+                - x * (1.0 + 0.5 * jnp.sin(8.0 * t)))
+
+    def test_terminal_state_tracks_scipy_across_tolerances(self):
+        from scipy.integrate import solve_ivp
+
+        rng = np.random.default_rng(0)
+        x0 = rng.standard_normal((self.B, self.D)).astype(np.float64)
+
+        truth = solve_ivp(self._drift_np, (0.0, 1.0), x0.reshape(-1),
+                          method="RK45", atol=1e-12, rtol=1e-12).y[:, -1]
+
+        errs = {}
+        for atol, rtol in [(1e-6, 1e-3), (1e-8, 1e-5)]:
+            traj = odeint_dopri5(self._drift_jax, jnp.asarray(x0),
+                                 0.0, 1.0, 5, atol=atol, rtol=rtol)
+            ours = np.asarray(traj[-1], np.float64).reshape(-1)
+            sp = solve_ivp(self._drift_np, (0.0, 1.0), x0.reshape(-1),
+                           method="RK45", atol=atol, rtol=rtol).y[:, -1]
+            errs[(atol, rtol)] = (
+                np.max(np.abs(ours - truth)), np.max(np.abs(sp - truth)))
+
+        loose_ours, loose_sp = errs[(1e-6, 1e-3)]
+        tight_ours, tight_sp = errs[(1e-8, 1e-5)]
+        # (a) tolerance sweep: tightening tolerances by 1e-2 must shrink the
+        # native terminal error by >= 1e-1 (measured: 1.09e-4 -> 8.31e-7, a
+        # factor ~130; scipy shows the same profile, 7.19e-4 -> 4.08e-7)
+        assert tight_ours < loose_ours * 1e-1, (tight_ours, loose_ours)
+        # (b) equal-tolerance agreement with the independent DP5(4): within
+        # 50x of scipy's error (measured ratios: 0.15 loose, 2.0 tight)
+        for (ours_e, sp_e) in errs.values():
+            assert ours_e < 50 * max(sp_e, 1e-12), (ours_e, sp_e)
+        # absolute sanity at the reference's default-ish tolerances
+        assert loose_ours < 1e-3
