@@ -212,3 +212,118 @@ class TestResilience:
                                   transforms={"latent.npy": alternating_shapes})
         with pytest.raises(Exception):
             list(reader)
+
+
+class TestRemoteShards:
+    """Remote shard streaming: pipe:/http(s) URLs (the reference's wds
+    stack passes shard URL specs straight to wds.WebDataset,
+    datasets/wds_dataloader.py:138-160)."""
+
+    @staticmethod
+    def _serve(directory):
+        import http.server
+        import threading
+
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(directory), **kw)
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def test_pipe_streaming(self, tmp_path):
+        shard = str(tmp_path / "s.tar")
+        _write_shard(shard, 4)
+        local = list(tar_samples(shard))
+        piped = list(tar_samples(f"pipe:cat {shard}"))
+        assert len(piped) == len(local) == 4
+        np.testing.assert_array_equal(
+            np.frombuffer(piped[0]["latent.npy"], np.uint8),
+            np.frombuffer(local[0]["latent.npy"], np.uint8))
+
+    def test_http_streaming(self, tmp_path):
+        from zigma_tpu.data import list_shards
+
+        for i in range(2):
+            _write_shard(str(tmp_path / f"shard-{i:04d}.tar"), 3, start=3 * i)
+        httpd, base = self._serve(tmp_path)
+        try:
+            urls = list_shards(base, "shard-{0000..0001}.tar")
+            assert urls == [f"{base}/shard-{i:04d}.tar" for i in range(2)]
+            reader = WebDatasetReader(urls, batch_size=3, repeat=False,
+                                      rename={"latent": "latent.npy",
+                                              "cls_id": "cls_id.cls"},
+                                      prefetch=0)
+            batches = list(reader)
+            assert len(batches) == 2
+            assert batches[0]["latent"].shape == (3, 4, 8, 8)
+        finally:
+            httpd.shutdown()
+
+    def test_unreadable_remote_shard_warns_and_continues(self, tmp_path):
+        _write_shard(str(tmp_path / "ok.tar"), 2)
+        httpd, base = self._serve(tmp_path)
+        try:
+            # 404 shard skipped, good shard still read (warn_and_continue)
+            samples = list(tar_samples(f"{base}/missing.tar"))
+            assert samples == []
+            assert len(list(tar_samples(f"{base}/ok.tar"))) == 2
+        finally:
+            httpd.shutdown()
+
+    def test_pipe_failure_warns(self):
+        assert list(tar_samples("pipe:false")) == []
+
+    def test_train_from_http_urls(self, tmp_path):
+        """End to end: the train CLI reads its shards over HTTP."""
+        import io as _io
+        import shutil
+
+        from zigma_tpu.cli.train import main
+        from tests.test_cli import CONFIG_DIR
+
+        shard_dir = tmp_path / "shards"
+        shard_dir.mkdir()
+        rng = np.random.default_rng(0)
+        with tarfile.open(str(shard_dir / "train-000000.tar"), "w") as tar:
+            for i in range(16):
+                buf = _io.BytesIO()
+                np.save(buf, rng.standard_normal((3, 8, 8)).astype(np.float32))
+                for name, data in [("img.npy", buf.getvalue()),
+                                   ("cls_id.cls", str(i % 5).encode())]:
+                    info = tarfile.TarInfo(f"{i:03d}.{name}")
+                    info.size = len(data)
+                    tar.addfile(info, _io.BytesIO(data))
+        httpd, base = self._serve(shard_dir)
+        cfg_dir = tmp_path / "configs"
+        shutil.copytree(CONFIG_DIR, cfg_dir)
+        (cfg_dir / "data" / "tinyhttp.yaml").write_text(f"""name: tinyhttp
+train_steps: 2
+video_frames: 0
+batch_size: 8
+image_size: 8
+num_classes: 5
+sample_fid_n: 0
+sample_fid_every: 1000000
+tar_base: {base}
+multinode: false
+train:
+  shards: 'train-000000.tar'
+  rename:
+    latent: img.npy
+    cls_id: cls_id.cls
+""")
+        try:
+            state = main([f"--config-dir={cfg_dir}", "data=tinyhttp",
+                          "model.params.in_channels=3",
+                          "model.params.embed_dim=32", "model.params.depth=2",
+                          "model.params.img_dim=8", "model.params.patch_size=2",
+                          "model.params.scan_type=zigzagN2",
+                          "model.params.class_dropout_prob=0.2",
+                          "mixed_precision=fp32", "is_latent=false",
+                          "log_every=2", "ckpt_every=1000000",
+                          "sample_every=1000000",
+                          f"results_dir={tmp_path / 'out'}"])
+            import jax
+            assert int(jax.device_get(state.step)) == 2
+        finally:
+            httpd.shutdown()

@@ -40,6 +40,8 @@ import numpy as np
 
 __all__ = [
     "brace_expand",
+    "is_remote",
+    "open_shard",
     "list_shards",
     "split_by_host",
     "tar_samples",
@@ -53,6 +55,71 @@ __all__ = [
 log = logging.getLogger(__name__)
 
 _BRACE_RE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+_SCHEME_RE = re.compile(r"^(pipe:|https?://|gs://)")
+
+
+def is_remote(url: str) -> bool:
+    """Whether a shard spec is a stream URL rather than a local path."""
+    return bool(_SCHEME_RE.match(url))
+
+
+class _PipeStream:
+    """Binary read stream over a subprocess's stdout that reaps the child
+    on close (the webdataset ``pipe:`` convention — e.g.
+    ``pipe:gsutil cat gs://bucket/shard-{0000..0099}.tar``)."""
+
+    def __init__(self, argv, shell: bool = False):
+        import subprocess
+
+        self._proc = subprocess.Popen(
+            argv, shell=shell, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL)
+        self.read = self._proc.stdout.read
+
+    def close(self):
+        self._proc.stdout.close()
+        if self._proc.poll() is None:
+            self._proc.terminate()
+        rc = self._proc.wait()
+        if rc not in (0, None, -15):  # -SIGTERM: we cut the stream short
+            raise OSError(f"pipe command exited with {rc}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            self.close()
+        except OSError:
+            if exc[0] is None:
+                raise
+
+
+def open_shard(url: str, timeout: float = 60.0):
+    """Open a shard as a binary stream.
+
+    Accepts local paths plus the remote URL kinds the reference's
+    webdataset stack handles (datasets/wds_dataloader.py:138-160 passes
+    shard URL specs straight to ``wds.WebDataset``): ``pipe:CMD`` shell
+    commands, ``http(s)://`` (stdlib urllib), and ``gs://`` (via gsutil /
+    gcloud storage cat) — required for multi-host TPU runs reading from GCS.
+    """
+    if url.startswith("pipe:"):
+        return _PipeStream(url[len("pipe:"):], shell=True)
+    if url.startswith(("http://", "https://")):
+        import urllib.request
+
+        return urllib.request.urlopen(url, timeout=timeout)
+    if url.startswith("gs://"):
+        import shutil as _shutil
+
+        for tool in (["gsutil", "cat"], ["gcloud", "storage", "cat"]):
+            if _shutil.which(tool[0]):
+                return _PipeStream(tool + [url])
+        raise OSError(
+            f"gs:// shard {url!r} needs gsutil or gcloud on PATH "
+            "(or use a pipe: command)")
+    return open(url, "rb")
 
 
 def brace_expand(pattern: str) -> list[str]:
@@ -70,10 +137,19 @@ def brace_expand(pattern: str) -> list[str]:
 
 
 def list_shards(tar_base: str, shards: str) -> list[str]:
-    """Resolve a shard spec (brace ranges or glob) under tar_base."""
-    spec = os.path.join(tar_base, shards)
+    """Resolve a shard spec (brace ranges or glob) under tar_base.
+
+    Remote specs (pipe:/http(s)/gs) expand brace ranges but never glob —
+    an absolute-URL ``shards`` ignores ``tar_base``."""
+    if is_remote(shards):
+        spec = shards
+    elif is_remote(tar_base):
+        spec = tar_base.rstrip("/") + "/" + shards
+    else:
+        spec = os.path.join(tar_base, shards)
     urls = brace_expand(spec)
-    if len(urls) == 1 and any(ch in spec for ch in "*?["):
+    if (not is_remote(spec) and len(urls) == 1
+            and any(ch in spec for ch in "*?[")):
         import glob
 
         urls = sorted(glob.glob(spec))
@@ -106,25 +182,44 @@ def tar_samples(url: str, handler: str = "warn") -> Iterator[dict]:
     indexed reader (zigma_tpu/native/zt_tar.cc) when it builds, falling
     back to Python tarfile.
     """
-    from zigma_tpu.native.tar_reader import available, native_tar_samples
-
-    if available():
+    stream = None
+    if is_remote(url):
+        # remote shards stream through tarfile's non-seeking mode; the
+        # native indexed reader needs a local file (pread)
         try:
-            yield from native_tar_samples(url)
-            return
-        except OSError as e:
+            stream = open_shard(url)
+            tf = tarfile.open(fileobj=stream, mode="r|*")
+        except (OSError, tarfile.TarError) as e:
+            if stream is not None:
+                try:
+                    stream.close()
+                except OSError:
+                    pass
             if handler == "warn":
-                log.warning("native reader failed on %s (%s); tarfile fallback",
-                            url, e)
-            else:
-                raise
-    try:
-        tf = tarfile.open(url, mode="r|*")
-    except (OSError, tarfile.TarError) as e:
-        if handler == "warn":
-            log.warning("skipping unreadable shard %s: %s", url, e)
-            return
-        raise
+                log.warning("skipping unreadable shard %s: %s", url, e)
+                return
+            raise
+    else:
+        from zigma_tpu.native.tar_reader import available, native_tar_samples
+
+        if available():
+            try:
+                yield from native_tar_samples(url)
+                return
+            except OSError as e:
+                if handler == "warn":
+                    log.warning(
+                        "native reader failed on %s (%s); tarfile fallback",
+                        url, e)
+                else:
+                    raise
+        try:
+            tf = tarfile.open(url, mode="r|*")
+        except (OSError, tarfile.TarError) as e:
+            if handler == "warn":
+                log.warning("skipping unreadable shard %s: %s", url, e)
+                return
+            raise
     current_key, sample = None, {}
     try:
         for member in tf:
@@ -149,8 +244,22 @@ def tar_samples(url: str, handler: str = "warn") -> Iterator[dict]:
                 raise
         if sample:
             yield sample
+    except (OSError, tarfile.TarError) as e:
+        # mid-stream failure (truncated remote transfer, dropped pipe)
+        if handler == "warn":
+            log.warning("shard %s truncated: %s", url, e)
+        else:
+            raise
     finally:
         tf.close()
+        if stream is not None:
+            try:
+                stream.close()
+            except OSError as e:
+                if handler == "warn":
+                    log.warning("closing shard %s: %s", url, e)
+                else:
+                    raise
 
 
 _IMAGE_EXTS = ("png", "jpg", "jpeg", "webp", "ppm", "bmp")
