@@ -192,11 +192,13 @@ def main(argv=None):
                                   extractor=patch_statistics_extractor())
         except RuntimeError as e:  # no feature nets cached locally
             logger.warning("metrics unavailable: %s", e)
-        if metric is not None and (cfg.data.get("validation")
-                                   and not cfg.data.get("synthetic")):
-            from zigma_tpu.cli.train import wds_batches
+    # real batches: consumed by metrics AND by likelihood mode (which scores
+    # data, not noise — don't gate the loader on metrics being configured)
+    if ((metric is not None or kind == "likelihood")
+            and cfg.data.get("validation") and not cfg.data.get("synthetic")):
+        from zigma_tpu.cli.train import wds_batches
 
-            real_gen = iter(wds_batches(cfg, model))
+        real_gen = iter(wds_batches(cfg, model))
 
     # latent decode for pixel-space metrics / PNGs (sample_acc.py:365)
     codec = None

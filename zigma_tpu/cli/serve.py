@@ -187,6 +187,11 @@ class GenerationWorker:
                 cap = np.broadcast_to(
                     cap[None], (self.max_batch, *cap.shape))
             y = jnp.asarray(cap)
+        else:
+            # unconditional model: guidance is meaningless and warmup never
+            # compiles the use_cfg variant — coerce so the request path
+            # stays compile-free
+            cfg_scale = 1.0
         req = _Request(n, int(seed), y, float(cfg_scale))
         self.queue.put(req)
         if not req.event.wait(timeout):

@@ -211,7 +211,17 @@ def main(argv=None):
         from zigma_tpu.data import IdentityCodec, get_codec
         from zigma_tpu.metrics import MyMetric, to_uint8_images
 
-        metric = MyMetric(choices=["fid"])
+        try:
+            metric = MyMetric(choices=["fid"])
+        except RuntimeError as e:  # no Inception weights cached locally
+            from zigma_tpu.metrics import patch_statistics_extractor
+
+            logger.warning(
+                "Inception weights unavailable (%s); tracking weight-free "
+                "patch statistics instead (NOT comparable to published FID)",
+                e)
+            metric = MyMetric(choices=["fid"],
+                              extractor=patch_statistics_extractor())
         codec = get_codec(cfg.get("vae_kind", "auto"))
         in_pixels = not isinstance(codec, IdentityCodec)
 

@@ -461,6 +461,15 @@ class ZigMa(nn.Module):
         """
         if y_null is None:
             if self.num_classes > 0 and jnp.issubdtype(y.dtype, jnp.integer):
+                if self.class_dropout_prob <= 0:
+                    # same trap LabelEmbedder.force_drop_ids guards: with no
+                    # null row in the table, index num_classes would silently
+                    # clamp onto the last real class
+                    raise ValueError(
+                        "forward_with_cfg needs a null-class embedding row: "
+                        "the model was built with class_dropout_prob <= 0, "
+                        "so label index num_classes does not exist; pass "
+                        "y_null explicitly or train with dropout_prob > 0")
                 y_null = jnp.full_like(y, self.num_classes)
             else:
                 y_null = jnp.zeros_like(y)
