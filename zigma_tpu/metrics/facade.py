@@ -222,7 +222,55 @@ class VideoMetric(MyMetric):
     (my_metrics.py:58-69); here the extractor owns that mapping:
     extractor(videos) -> (B, F); the inherited update/compute machinery is
     shape-agnostic.
+
+    flavor pins WHICH FVD is computed — the two detectors in the wild give
+    different numbers:
+
+    - ``"styleganv"``: the reference's gating metric — the StyleGAN-V
+      TorchScript weights + the my_metrics.py:58-69 preprocessing
+      (aspect-distorting 224 resize, values left in [0, 255]).
+    - ``"videogpt"``: the pytorch-i3d state-dict weights + the
+      videogpt fvd.py:21-60 preprocessing (shorter-side resize + center
+      crop + [-1, 1]).
+
+    With neither flavor nor extractor given, styleganv is preferred and
+    videogpt is the logged fallback.  ``compute()`` names the flavor in
+    the result key (``fvd_styleganv`` / ``fvd_videogpt`` / ``fvd_custom``)
+    alongside plain ``fvd``, so downstream numbers are never ambiguous.
     """
 
-    def __init__(self, extractor: Callable, **kw):
+    def __init__(self, extractor: Optional[Callable] = None,
+                 flavor: Optional[str] = None, **kw):
+        if extractor is not None:
+            self.flavor = flavor or "custom"
+        else:
+            from zigma_tpu.metrics.features import get_extractor
+
+            names = {"styleganv": "i3d_styleganv", "videogpt": "i3d"}
+            if flavor is not None:
+                if flavor not in names:
+                    raise ValueError(
+                        f"unknown FVD flavor {flavor!r}; expected one of "
+                        f"{sorted(names)} (or pass an explicit extractor)")
+                extractor = get_extractor(names[flavor])
+                self.flavor = flavor
+            else:
+                try:
+                    extractor = get_extractor("i3d_styleganv")
+                    self.flavor = "styleganv"
+                except RuntimeError:
+                    import logging
+
+                    extractor = get_extractor("i3d")  # raises if also absent
+                    self.flavor = "videogpt"
+                    logging.getLogger(__name__).warning(
+                        "no i3d_torchscript.pt cached; FVD falls back to "
+                        "the videogpt detector — numbers are NOT comparable "
+                        "to the reference's styleganv-flavor FVD")
         super().__init__(choices=["fvd"], extractor=extractor, **kw)
+
+    def compute(self, sync: bool = True):
+        out = super().compute(sync=sync)
+        if "fvd" in out:
+            out[f"fvd_{self.flavor}"] = out["fvd"]
+        return out

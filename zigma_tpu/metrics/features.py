@@ -135,7 +135,8 @@ def _try_jax_inception(feature: str) -> Optional[Callable]:
 
 def _try_jax_i3d() -> Optional[Callable]:
     """Native JAX InceptionI3d (FVD logits on TPU) from a locally cached
-    raw state dict (``i3d_pretrained_400`` family)."""
+    raw state dict (``i3d_pretrained_400`` family) — the videogpt FVD
+    flavor (shorter-side resize + crop + [-1, 1] preprocessing)."""
     from zigma_tpu.metrics import i3d_jax
 
     params = _load_converted("ZIGMA_I3D_WEIGHTS", lambda f: "i3d" in f,
@@ -143,6 +144,24 @@ def _try_jax_i3d() -> Optional[Callable]:
     if params is None:
         return None
     return i3d_jax.i3d_extractor(params)
+
+
+def _try_jax_i3d_styleganv() -> Optional[Callable]:
+    """StyleGAN-V FVD flavor: weights from a locally cached
+    ``i3d_torchscript.pt`` archive (the reference's gating detector,
+    utils/torchmetric_fvd.py:169-186) + the gating preprocessing
+    (aspect-distorting 224 resize, values left in [0, 255])."""
+    from zigma_tpu.convert.torchscript_i3d import convert_torchscript_i3d
+    from zigma_tpu.metrics import i3d_jax
+
+    for cand in _weight_candidates("ZIGMA_I3D_TORCHSCRIPT",
+                                   lambda f: "i3d" in f):
+        try:
+            params = convert_torchscript_i3d(cand)
+        except Exception:
+            continue
+        return i3d_jax.styleganv_extractor(params)
+    return None
 
 
 def _try_jax_dinov2() -> Optional[Callable]:
@@ -275,9 +294,17 @@ def get_extractor(name: str = "inception") -> Callable:
             _REGISTRY[name] = fn
             return fn
     if name == "i3d":
-        # FVD features (reference: utils/torchmetric_fvd.py:169-186,
-        # video_metrics/fvd/videogpt/fvd.py:8-19)
+        # videogpt-flavor FVD features
+        # (reference: video_metrics/fvd/videogpt/fvd.py:8-19)
         fn = _try_jax_i3d() or _try_torch_i3d()
+        if fn is not None:
+            _REGISTRY[name] = fn
+            return fn
+    if name == "i3d_styleganv":
+        # the reference's GATING FVD detector: the StyleGAN-V TorchScript
+        # archive + my_metrics.py:58-69 preprocessing
+        # (reference: utils/torchmetric_fvd.py:169-186)
+        fn = _try_jax_i3d_styleganv()
         if fn is not None:
             _REGISTRY[name] = fn
             return fn

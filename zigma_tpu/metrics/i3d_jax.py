@@ -37,6 +37,7 @@ import numpy as np
 
 __all__ = ["i3d_logits", "i3d_extractor", "load_torch_state_dict",
            "random_params", "param_shapes", "fvd_preprocess",
+           "styleganv_gating_preprocess", "styleganv_extractor",
            "torch_bilinear_resize"]
 
 NUM_CLASSES = 400
@@ -192,6 +193,43 @@ def fvd_preprocess(videos: np.ndarray, resolution: int = 224) -> jnp.ndarray:
     v = v[:, :, h0:h0 + resolution, w0:w0 + resolution]
     v = (v - 0.5) * 2.0
     return jnp.transpose(v, (0, 4, 1, 2, 3))  # B C T H W
+
+
+def styleganv_gating_preprocess(videos: np.ndarray,
+                                resolution: int = 224) -> jnp.ndarray:
+    """uint8 (B, T, H, W, C) -> (B, C, T, res, res) float32 **in [0, 255]**.
+
+    EXACTLY the reference's gating-FVD feed (my_metrics.py:58-69): each
+    frame is bilinear-resized straight to 224x224 (aspect-distorting, NO
+    shorter-side scaling, NO center crop; align_corners=False), and the
+    values are NEVER rescaled — FrechetVideoDistance then invokes the
+    StyleGAN-V detector with ``rescale=False``
+    (utils/torchmetric_fvd.py:173), so it sees raw [0, 255] floats.  A
+    reference quirk (the detector nominally expects [-1, 1]), reproduced
+    bit-for-bit because FVD-number parity depends on it.  Contrast
+    ``fvd_preprocess`` (the videogpt flavor: shorter-side resize + center
+    crop + [-1, 1]).
+    """
+    v = jnp.asarray(np.asarray(videos), jnp.float32)
+    v = torch_bilinear_resize(v, resolution, resolution)
+    return jnp.transpose(v, (0, 4, 1, 2, 3))  # B C T H W
+
+
+def styleganv_extractor(params, batch: int = 8, resolution: int = 224):
+    """(B, T, H, W, C) uint8 videos -> (B, 400) features through the
+    StyleGAN-V gating pipeline (see styleganv_gating_preprocess); plug
+    into ``VideoMetric(flavor="styleganv")``."""
+
+    def extract(videos: np.ndarray) -> np.ndarray:
+        videos = np.asarray(videos)
+        outs = []
+        for i in range(0, videos.shape[0], batch):
+            chunk = styleganv_gating_preprocess(videos[i:i + batch],
+                                                resolution)
+            outs.append(np.asarray(i3d_logits(params, chunk)))
+        return np.concatenate(outs, axis=0)
+
+    return extract
 
 
 def i3d_extractor(params, batch: int = 8, resolution: int = 224):
