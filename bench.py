@@ -17,6 +17,7 @@ the iteration index so no per-call data upload is needed.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -72,5 +73,83 @@ def main():
     }))
 
 
+def kernel_check():
+    """On-hardware Pallas kernel correctness: fwd + every cotangent vs the
+    chunked jnp backend at the flagship shape, fp32 and bf16.
+
+    The CI suite runs the kernel in interpret mode on CPU only; this mode
+    exercises the REAL Mosaic compile path on the chip and asserts the
+    tests/test_scan_pallas.py tolerances (which mirror the reference's
+    dis_mamba/tests/ops/test_selective_scan.py:45-47).  Prints one JSON
+    line per dtype plus a final verdict line.
+    """
+    from zigma_tpu.ops.scan_pallas import selective_scan_pallas
+    from zigma_tpu.ops.selective_scan import selective_scan
+
+    B, L, D, N = 16, 1024, 1536, 16  # the flagship 256^2 scan shape
+    results = {}
+    ok_all = True
+    for dtype, rtol, atol, gr, ga in [
+            (jnp.float32, 2e-3, 6e-4, 2e-3, 2e-3),
+            (jnp.bfloat16, 3e-2, 5e-2, 3e-2, 5e-2)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 7)
+        u = jax.random.normal(ks[0], (B, L, D), dtype)
+        delta = jax.random.normal(ks[1], (B, L, D), dtype) * 0.5
+        A = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
+        Bv = jax.random.normal(ks[3], (B, L, N), dtype)
+        Cv = jax.random.normal(ks[4], (B, L, N), dtype)
+        Dskip = jax.random.normal(ks[5], (D,))
+        z = jax.random.normal(ks[6], (B, L, D), dtype)
+        bias = jnp.full((D,), 0.05, jnp.float32)
+
+        def loss(fn):
+            def f(u, delta, A, Bv, Cv, Dskip, z):
+                y = fn(u, delta, A, Bv, Cv, Dskip, z=z, delta_bias=bias,
+                       delta_softplus=True)
+                return jnp.sum(y.astype(jnp.float32) ** 2) / y.size
+            return f
+
+        chunked = lambda *a, **kw: selective_scan(*a, backend="chunked", **kw)
+        args = (u, delta, A, Bv, Cv, Dskip, z)
+        y_pal = jax.jit(lambda *a: selective_scan_pallas(
+            *a[:5], a[5], z=a[6], delta_bias=bias, delta_softplus=True))(*args)
+        y_ref = jax.jit(lambda *a: chunked(
+            *a[:5], a[5], z=a[6], delta_bias=bias, delta_softplus=True))(*args)
+        g_pal = jax.jit(jax.grad(loss(selective_scan_pallas),
+                                 argnums=tuple(range(7))))(*args)
+        g_ref = jax.jit(jax.grad(loss(chunked),
+                                 argnums=tuple(range(7))))(*args)
+
+        entry = {}
+        names = ["y", "du", "ddelta", "dA", "dB", "dC", "dD", "dz"]
+        pairs = [(y_pal, y_ref)] + list(zip(g_pal, g_ref))
+        for name, (a, b) in zip(names, pairs):
+            a32 = jnp.asarray(a, jnp.float32)
+            b32 = jnp.asarray(b, jnp.float32)
+            r, t = (rtol, atol) if name == "y" else (gr, ga)
+            max_abs = float(jnp.max(jnp.abs(a32 - b32)))
+            viol = float(jnp.max(jnp.abs(a32 - b32)
+                                 - (t + r * jnp.abs(b32))))
+            passed = viol <= 0.0
+            ok_all &= passed
+            entry[name] = {"max_abs_err": round(max_abs, 8),
+                           "tol": f"rtol={r},atol={t}", "ok": passed}
+        results[jnp.dtype(dtype).name] = entry
+        print(json.dumps({"dtype": jnp.dtype(dtype).name, **{
+            k: v["max_abs_err"] for k, v in entry.items()},
+            "ok": all(v["ok"] for v in entry.values())}))
+
+    print(json.dumps({
+        "metric": "pallas_scan_on_hw_correctness",
+        "shape": [B, L, D, N],
+        "backend": jax.default_backend(),
+        "ok": bool(ok_all),
+        "results": results,
+    }))
+    return ok_all
+
+
 if __name__ == "__main__":
+    if "kernel" in sys.argv[1:]:
+        sys.exit(0 if kernel_check() else 1)
     main()

@@ -160,6 +160,28 @@ class TestZigMa:
         assert out.shape == (2, 3, 4, 8, 8)
         assert jnp.isfinite(out).all()
 
+    def test_video_use_pe1_sincos_tiled_per_frame(self):
+        """use_pe=1 (fixed sincos) on video shapes: the spatial table is
+        tiled across frames (zigma.py per-frame tiling; the video suite
+        otherwise only exercises pe=2)."""
+        def build(pe):
+            return ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                         patch_size=2, scan_type="zzvideo_sst",
+                         video_frames=3, tpe=True, use_pe=pe,
+                         scan_backend="ref")
+
+        m1 = build(1)
+        _, out1 = self._forward(m1, (2, 3, 4, 8, 8))
+        assert out1.shape == (2, 3, 4, 8, 8)
+        assert jnp.isfinite(out1).all()
+        # neither pe=0 nor pe=1 adds parameters, so the same init seed
+        # gives identical trees — any output difference IS the sincos PE
+        m0 = build(0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 8, 8))
+        t = jnp.zeros((2,))
+        p = m0.init(jax.random.PRNGKey(1), x, t)
+        assert not jnp.allclose(m0.apply(p, x, t), m1.apply(p, x, t))
+
     def test_adaln_zero_init_output_is_input_independent_of_blocks(self):
         """With zero-init adaLN gates, block contributions start at zero, so
         two models differing only in mixer params give the same output at
