@@ -73,71 +73,150 @@ def main():
     }))
 
 
-def kernel_check():
-    """On-hardware Pallas kernel correctness: fwd + every cotangent vs the
-    chunked jnp backend at the flagship shape, fp32 and bf16.
+def _scan_truth_f64(u, delta, A, Bv, Cv, Dskip, z, bias):
+    """numpy float64 sequential selective scan — the ground truth.
 
-    The CI suite runs the kernel in interpret mode on CPU only; this mode
-    exercises the REAL Mosaic compile path on the chip and asserts the
-    tests/test_scan_pallas.py tolerances (which mirror the reference's
-    dis_mamba/tests/ops/test_selective_scan.py:45-47).  Prints one JSON
-    line per dtype plus a final verdict line.
+    Runs entirely on the host with libm transcendentals, independent of
+    both device implementations and of any jax lowering.
     """
+    import numpy as np
+
+    u, delta, A, Bv, Cv, Dskip, z, bias = [
+        np.asarray(jax.device_get(a), np.float64)
+        for a in (u, delta, A, Bv, Cv, Dskip, z, bias)]
+    B, L, D = u.shape
+    N = A.shape[1]
+    dt = np.logaddexp(0.0, delta + bias)                    # softplus
+    x = np.zeros((B, D, N))
+    ys = np.empty((B, L, D))
+    for t in range(L):
+        la = np.exp(dt[:, t, :, None] * A[None])            # (B,D,N)
+        x = la * x + dt[:, t, :, None] * u[:, t, :, None] * Bv[:, t, None, :]
+        ys[:, t] = np.einsum("bdn,bn->bd", x, Cv[:, t])
+    y = ys + u * Dskip
+    return y * (z / (1.0 + np.exp(-z)))
+
+
+def kernel_check():
+    """On-hardware Pallas kernel correctness at the flagship shape, fp32
+    and bf16 — the real Mosaic compile path (CI only runs interpret mode
+    on CPU, which a silent miscompile would sail through).
+
+    Methodology (each choice bought by a round-2 measurement):
+      * Inputs are generated ONCE on the host and shipped bit-identically
+        to every device.  TPU and CPU lower ``jax.random.normal``
+        differently (erfinv: 3.6e-5 max divergence) — without sharing,
+        the comparison measures RNG lowering, not the kernel.
+      * The FORWARD is gated against a float64 numpy sequential truth,
+        not against another device run.  XLA:TPU's softplus/exp
+        approximations (2.6e-4 / 5e-6 max rel vs libm) amplify through
+        the recurrence to ~0.2% on tail elements for EVERY fp32 TPU
+        implementation (measured: pallas 0.0080 max abs / 3.5e-5 rms
+        ratio, XLA-chunked 0.0079 / 3.5e-5, while CPU impls sit at
+        2e-5 / 1e-7) — so same-shape device-vs-device comparisons at the
+        reference's tolerances (dis_mamba tests, rtol 2e-3) fail on
+        transcendental lowering alone.  Thresholds below are those
+        measurements with ~2.5x margin; a miscompile (the class this mode
+        exists to catch) is orders of magnitude outside them.
+      * bf16 pallas is allowed 2x the chunked backend's error: the kernel
+        carries decay/xs scratch in bf16 (a deliberate VMEM-bandwidth
+        tradeoff; the state itself stays fp32) — measured 0.46 max abs /
+        3.4e-3 rms ratio vs truth, vs 0.25 / 1.7e-3 for f32-internal
+        impls (bf16 IO rounding alone costs 0.25 / 1.7e-3).
+      * GRADIENTS are gated against the CPU chunked backend on the same
+        inputs (an f64 backward would need a handwritten adjoint); CPU
+        f32 grads sit ~1e-7 from truth, and the measured TPU-vs-CPU grad
+        deltas (5e-8 fp32 / 1.6e-5 bf16) leave 4+ orders of margin under
+        the reference tolerances.
+      * The on-device CHUNKED backend (auto-dispatch's fallback) is gated
+        too: round-2 triangulation caught its backward MISCOMPILING on
+        XLA:TPU (jnp.flip fused into lax.associative_scan — grads off by
+        1e6x; fixed by an optimization_barrier in _chunk_adjoint) while
+        the Pallas kernel matched CPU to 5e-8.  This is the standing
+        regression gate on that fusion bug.
+
+    Prints one JSON line per (dtype, impl) plus a final verdict line.
+    """
+    import numpy as np
+
     from zigma_tpu.ops.scan_pallas import selective_scan_pallas
     from zigma_tpu.ops.selective_scan import selective_scan
 
     B, L, D, N = 16, 1024, 1536, 16  # the flagship 256^2 scan shape
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
     results = {}
     ok_all = True
-    for dtype, rtol, atol, gr, ga in [
-            (jnp.float32, 2e-3, 6e-4, 2e-3, 2e-3),
-            (jnp.bfloat16, 3e-2, 5e-2, 3e-2, 5e-2)]:
-        ks = jax.random.split(jax.random.PRNGKey(0), 7)
-        u = jax.random.normal(ks[0], (B, L, D), dtype)
-        delta = jax.random.normal(ks[1], (B, L, D), dtype) * 0.5
-        A = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
-        Bv = jax.random.normal(ks[3], (B, L, N), dtype)
-        Cv = jax.random.normal(ks[4], (B, L, N), dtype)
-        Dskip = jax.random.normal(ks[5], (D,))
-        z = jax.random.normal(ks[6], (B, L, D), dtype)
-        bias = jnp.full((D,), 0.05, jnp.float32)
+    for dtype, fwd_abs, fwd_rms, gr, ga in [
+            (jnp.float32, 2e-2, 2e-4, 2e-3, 2e-3),
+            (jnp.bfloat16, 1.5, 1e-2, 3e-2, 5e-2)]:
+        with jax.default_device(cpu):
+            ks = jax.random.split(jax.random.PRNGKey(0), 7)
+            u = jax.random.normal(ks[0], (B, L, D), dtype)
+            delta = jax.random.normal(ks[1], (B, L, D), dtype) * 0.5
+            A = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
+            Bv = jax.random.normal(ks[3], (B, L, N), dtype)
+            Cv = jax.random.normal(ks[4], (B, L, N), dtype)
+            Dskip = jax.random.normal(ks[5], (D,))
+            z = jax.random.normal(ks[6], (B, L, D), dtype)
+            bias = jnp.full((D,), 0.05, jnp.float32)
+        args_cpu = (u, delta, A, Bv, Cv, Dskip, z)
+        args = jax.device_put(args_cpu, dev)
+        bias_dev = jax.device_put(bias, dev)
+        y_gold = _scan_truth_f64(u, delta, A, Bv, Cv, Dskip, z, bias)
 
-        def loss(fn):
+        def loss(fn, b):
             def f(u, delta, A, Bv, Cv, Dskip, z):
-                y = fn(u, delta, A, Bv, Cv, Dskip, z=z, delta_bias=bias,
+                y = fn(u, delta, A, Bv, Cv, Dskip, z=z, delta_bias=b,
                        delta_softplus=True)
                 return jnp.sum(y.astype(jnp.float32) ** 2) / y.size
             return f
 
         chunked = lambda *a, **kw: selective_scan(*a, backend="chunked", **kw)
-        args = (u, delta, A, Bv, Cv, Dskip, z)
         y_pal = jax.jit(lambda *a: selective_scan_pallas(
-            *a[:5], a[5], z=a[6], delta_bias=bias, delta_softplus=True))(*args)
-        y_ref = jax.jit(lambda *a: chunked(
-            *a[:5], a[5], z=a[6], delta_bias=bias, delta_softplus=True))(*args)
-        g_pal = jax.jit(jax.grad(loss(selective_scan_pallas),
+            *a[:5], a[5], z=a[6], delta_bias=bias_dev,
+            delta_softplus=True))(*args)
+        g_pal = jax.jit(jax.grad(loss(selective_scan_pallas, bias_dev),
                                  argnums=tuple(range(7))))(*args)
-        g_ref = jax.jit(jax.grad(loss(chunked),
+        y_chk = jax.jit(lambda *a: chunked(
+            *a[:5], a[5], z=a[6], delta_bias=bias_dev,
+            delta_softplus=True))(*args)
+        g_chk = jax.jit(jax.grad(loss(chunked, bias_dev),
                                  argnums=tuple(range(7))))(*args)
+        with jax.default_device(cpu):
+            g_ref = jax.jit(jax.grad(loss(chunked, bias),
+                                     argnums=tuple(range(7))))(*args_cpu)
 
-        entry = {}
-        names = ["y", "du", "ddelta", "dA", "dB", "dC", "dD", "dz"]
-        pairs = [(y_pal, y_ref)] + list(zip(g_pal, g_ref))
-        for name, (a, b) in zip(names, pairs):
-            a32 = jnp.asarray(a, jnp.float32)
-            b32 = jnp.asarray(b, jnp.float32)
-            r, t = (rtol, atol) if name == "y" else (gr, ga)
-            max_abs = float(jnp.max(jnp.abs(a32 - b32)))
-            viol = float(jnp.max(jnp.abs(a32 - b32)
-                                 - (t + r * jnp.abs(b32))))
-            passed = viol <= 0.0
+        gold_rms = float(np.sqrt(np.mean(y_gold ** 2)))
+        grad_names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz"]
+        for tag, y_dev, g_dev in [("pallas", y_pal, g_pal),
+                                  ("chunked_tpu", y_chk, g_chk)]:
+            entry = {}
+            err = np.abs(np.asarray(jax.device_get(y_dev), np.float64)
+                         - y_gold)
+            max_abs = float(err.max())
+            rms_ratio = float(np.sqrt(np.mean(err ** 2)) / gold_rms)
+            passed = max_abs <= fwd_abs and rms_ratio <= fwd_rms
             ok_all &= passed
-            entry[name] = {"max_abs_err": round(max_abs, 8),
-                           "tol": f"rtol={r},atol={t}", "ok": passed}
-        results[jnp.dtype(dtype).name] = entry
-        print(json.dumps({"dtype": jnp.dtype(dtype).name, **{
-            k: v["max_abs_err"] for k, v in entry.items()},
-            "ok": all(v["ok"] for v in entry.values())}))
+            entry["y"] = {"max_abs_err": round(max_abs, 8),
+                          "err_rms_ratio": float(f"{rms_ratio:.3g}"),
+                          "tol": f"abs<={fwd_abs},rms<={fwd_rms}",
+                          "golden": "f64 numpy sequential", "ok": passed}
+            for name, a, b in zip(grad_names, g_dev, g_ref):
+                a32 = np.asarray(jax.device_get(a), np.float32)
+                b32 = np.asarray(jax.device_get(b), np.float32)
+                max_abs = float(np.max(np.abs(a32 - b32)))
+                viol = float(np.max(np.abs(a32 - b32)
+                                    - (ga + gr * np.abs(b32))))
+                passed = viol <= 0.0
+                ok_all &= passed
+                entry[name] = {"max_abs_err": round(max_abs, 8),
+                               "tol": f"rtol={gr},atol={ga}",
+                               "golden": "cpu chunked f32", "ok": passed}
+            results[f"{jnp.dtype(dtype).name}:{tag}"] = entry
+            print(json.dumps({"dtype": jnp.dtype(dtype).name, "impl": tag, **{
+                k: v["max_abs_err"] for k, v in entry.items()},
+                "ok": all(v["ok"] for v in entry.values())}))
 
     print(json.dumps({
         "metric": "pallas_scan_on_hw_correctness",

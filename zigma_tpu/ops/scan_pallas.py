@@ -138,11 +138,25 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-# VMEM scratch budget for the (BL, N, BD) buffers.  v5e has ~128 MiB of
-# VMEM per core; leave the rest for the double-buffered input/output block
-# streams.  The reference CUDA kernel makes the same tradeoff by shrinking
+# Mosaic's DEFAULT scoped-vmem limit is 16 MiB per kernel (observed on
+# hardware: a 16.76 MiB fwd allocation at the fp32 flagship shape is
+# rejected with "exceeded scoped vmem limit"), counting scratch PLUS the
+# double-buffered block streams.  Both kernels therefore pass an explicit
+# ``vmem_limit_bytes`` sized for their real usage (v5e has 128 MiB of
+# physical VMEM), and the blocking solver keeps scratch under this budget
+# — leaving ≥16 MiB of stream headroom under the raised limit.  The
+# reference CUDA kernel makes the same capacity tradeoff by shrinking
 # kNItems as dstate grows (selective_scan.cpp:262 caps dstate at 256).
-_VMEM_SCRATCH_BUDGET = 32 * 1024 * 1024
+_VMEM_SCRATCH_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+# grid = (batch, d-block, chunk).  All three axes stay "arbitrary"
+# (sequential): the VMEM scratch carries state along the chunk axis,
+# re-seeded at k==0 per (batch, d-block) cell.  Marking batch/d-block
+# "parallel" was tried and produced CORRUPT gradients on hardware (round-2
+# kernel check: du/ddelta/dA/dB off by 1e3 while the carry-free dC stayed
+# exact) — Mosaic may reorder parallel dims around the scratch carry.
+_DIM_SEMANTICS = ("arbitrary", "arbitrary", "arbitrary")
 
 
 def _blocks(L, D, N, itemsize, block_l, block_d, group):
@@ -266,6 +280,9 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
             pltpu.VMEM((BL, N, BD), cdtype),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=_DIM_SEMANTICS,
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=9 * batch * L * D * N,
             bytes_accessed=(2 * batch * L * D * u.dtype.itemsize * 2
@@ -473,6 +490,9 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             pltpu.VMEM((BL, N, BD), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=_DIM_SEMANTICS,
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=25 * batch * L * D * N,
             bytes_accessed=6 * batch * L * D * u.dtype.itemsize,

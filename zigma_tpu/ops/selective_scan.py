@@ -219,6 +219,13 @@ def _chunk_adjoint(la, dx, g_in):
     la_next = jnp.concatenate([la[:, 1:], jnp.zeros_like(la[:, :1])], axis=1)
     la_r = jnp.flip(la_next, axis=1)
     dx_r = jnp.flip(dx, axis=1)
+    # XLA:TPU miscompiles jnp.flip fused INTO lax.associative_scan at large
+    # batch*d_inner (observed: (16, 128, 512, 16) fp32 gives garbage — max
+    # err ~1e1 on O(1) data — while (2, ...) and (16, ..., 128, ...) pass;
+    # flip alone and the scan alone are each exact; `reverse=True` flips
+    # internally and fails identically).  The barrier materializes the
+    # flipped operands so the scan's slices never fuse with the reversal.
+    la_r, dx_r = jax.lax.optimization_barrier((la_r, dx_r))
     la_cum_r, g_r0 = jax.lax.associative_scan(_scan_combine, (la_r, dx_r), axis=1)
     g_r = g_r0 + jnp.exp(la_cum_r) * g_in[:, None]
     return jnp.flip(g_r, axis=1)
