@@ -138,17 +138,39 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-# Mosaic's DEFAULT scoped-vmem limit is 16 MiB per kernel (observed on
-# hardware: a 16.76 MiB fwd allocation at the fp32 flagship shape is
-# rejected with "exceeded scoped vmem limit"), counting scratch PLUS the
-# double-buffered block streams.  Both kernels therefore pass an explicit
-# ``vmem_limit_bytes`` sized for their real usage (v5e has 128 MiB of
-# physical VMEM), and the blocking solver keeps scratch under this budget
-# — leaving ≥16 MiB of stream headroom under the raised limit.  The
-# reference CUDA kernel makes the same capacity tradeoff by shrinking
+# The kernel's ``vmem_limit_bytes`` is RESERVED, not advisory: XLA
+# allocates the declared limit as the custom call's frame on the module's
+# scoped-vmem stack (112 MiB budget on v5e).  Three hardware observations
+# pin the semantics:
+#   * leaving it unset makes the frame default to the FULL 112 MiB module
+#     budget — the bwd grad graph then dies in AOT ("scoped allocation
+#     112.06M, limit 112.00M") because 58 KiB of neighbouring S(1) buffers
+#     no longer fit;
+#   * a blanket 64 MiB limit compiles everywhere but costs ~17% END-TO-END
+#     sampling throughput (3.46 vs 4.15 img/s) by starving the surrounding
+#     module's fusions/prefetch, even though the ISOLATED kernel got
+#     faster (1.572 vs 1.741 ms);
+#   * Mosaic's own accounting rejects limits below its computed usage
+#     (the fp32 flagship fwd computes 16.76 MiB vs a 14.9 MiB additive
+#     model — ~12% above the naive sum).
+# So each call declares the smallest safe limit: 1.5x the additive
+# scratch+stream model (covers Mosaic's accounting slack), floored at
+# 24 MiB — a 16 MiB floor re-triggered the same 58 KiB AOT overflow (XLA
+# packs S(1) neighbours up to the declared headroom and mis-accounts at
+# the cliff), while 24 MiB compiles everywhere AND measures at full
+# throughput (4.153 img/s, bit-identical to the no-params round-1 bench).
+# The reference CUDA kernel makes the same capacity tradeoff by shrinking
 # kNItems as dstate grows (selective_scan.cpp:262 caps dstate at 256).
 _VMEM_SCRATCH_BUDGET = 48 * 1024 * 1024
-_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_LIMIT_FLOOR = 24 * 1024 * 1024
+
+
+def _vmem_limit(scratch_bytes_total, block_bytes_total):
+    """Smallest safe ``vmem_limit_bytes`` for a kernel whose VMEM scratch
+    totals ``scratch_bytes_total`` and whose (single-buffered) block
+    streams total ``block_bytes_total`` (see module comment above)."""
+    need = (3 * (scratch_bytes_total + 2 * block_bytes_total)) // 2
+    return max(need, _VMEM_LIMIT_FLOOR)
 
 # grid = (batch, d-block, chunk).  All three axes stay "arbitrary"
 # (sequential): the VMEM scratch carries state along the chunk axis,
@@ -247,6 +269,15 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
 
     grid = (batch, D // BD, n_chunks)
 
+    bc_sz = BC.dtype.itemsize
+    scratch_total = N * BD * 4 + 3 * BL * N * BD * cdtype_size
+    block_total = (3 * BL * BD * cdtype_size        # u, delta, y
+                   + BLz * BD * cdtype_size         # z
+                   + BL * N * 2 * bc_sz             # BC
+                   + 3 * N * BD * 4                 # At, x0, carry+xlast
+                   + N * BD * 4 + 3 * BD * 4)
+    vmem_limit = _vmem_limit(scratch_total, block_total)
+
     return pl.pallas_call(
         functools.partial(_scan_kernel, softplus=softplus, group=group,
                           fuse_gate=fuse_gate),
@@ -282,7 +313,7 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=_DIM_SEMANTICS,
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=9 * batch * L * D * N,
             bytes_accessed=(2 * batch * L * D * u.dtype.itemsize * 2
@@ -445,6 +476,16 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
     grid = (batch, nD, n_chunks)
     nc = n_chunks  # reverse chunk order via index maps
 
+    bc_sz = BC.dtype.itemsize
+    scratch_total = N * BD * 4 * 1 + BL * N * BD * (3 * cdtype_size + 4)
+    block_total = (5 * BL * BD * cdtype_size        # u, delta, gy, du, dd
+                   + 2 * BLz * BD * cdtype_size     # z, dz
+                   + BL * N * 2 * bc_sz             # BC
+                   + 2 * BL * N * 4                 # dBp, dCp
+                   + 5 * N * BD * 4                 # At, carries, g_last, dAp, dx0
+                   + 4 * BD * 4)                    # bias, Dskip, dDp (+slack)
+    vmem_limit = _vmem_limit(scratch_total, block_total)
+
     du, dd, dBp, dCp, dAp, dx0, dz, dDp = pl.pallas_call(
         functools.partial(_scan_bwd_kernel, softplus=softplus,
                           fuse_gate=fuse_gate),
@@ -492,7 +533,7 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=_DIM_SEMANTICS,
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=25 * batch * L * D * N,
             bytes_accessed=6 * batch * L * D * u.dtype.itemsize,
