@@ -178,6 +178,17 @@ def _vmem_limit(scratch_bytes_total, block_bytes_total):
 # "parallel" was tried and produced CORRUPT gradients on hardware (round-2
 # kernel check: du/ddelta/dA/dB off by 1e3 while the carry-free dC stayed
 # exact) — Mosaic may reorder parallel dims around the scratch carry.
+#
+# Rejected (round 2, measured): replacing the materialized w_s = dt*u*B
+# buffer with a (BL, 1, BD) dt*u scratch + an in-loop outer product
+# bg[j] * dug[j].  It cuts ~1/3 of the loop's VMEM traffic on paper but
+# measured 2.50-2.74 ms vs 1.48-1.68 ms on the flagship bf16 shape
+# (experiments/kernel_microbench.py): the recurrence loop is LATENCY-bound
+# on its serial dependency chain, so adding a broadcast-multiply per step
+# costs far more than the bandwidth it saves.  (Also note: a 2D (BL, BD)
+# scratch cannot be dynamically sliced on dim 0 at group=4 strides —
+# Mosaic requires sublane-aligned dynamic indices on tiled dims; any such
+# buffer must be (BL, 1, BD).)
 _DIM_SEMANTICS = ("arbitrary", "arbitrary", "arbitrary")
 
 
