@@ -1,0 +1,70 @@
+"""cast_params_for_inference: a pure hoist of the in-graph weight converts.
+
+The bf16 model casts fp32 master weights to bf16 at every use site; the
+utility pre-casts those leaves once.  Two contracts:
+
+  * bitwise-identical forward for a bf16 model (the hoisted convert
+    computes the same bf16 numbers the in-graph convert did), and
+  * the scan-sensitive leaves (A_log, D, dt_proj_bias, norms, PEs,
+    embedders) stay fp32 — they are consumed in fp32 (mixed-precision
+    policy mirroring the reference, mamba_simple.py parameter dtypes).
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import pytest
+
+from zigma_tpu.models import ZigMa
+from zigma_tpu.utils.inference import cast_params_for_inference
+
+
+def _leaf_paths(tree):
+    for path, leaf in jtu.tree_flatten_with_path(tree)[0]:
+        name = "/".join(getattr(k, "key", getattr(k, "name", str(k)))
+                        for k in path)
+        yield name, leaf
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = ZigMa(in_channels=4, embed_dim=96, depth=4, img_dim=8,
+                  patch_size=1, scan_type="zigzagN8", use_pe=2,
+                  dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+    t = jnp.full((2,), 0.3)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    return model, params, x, t
+
+
+def test_forward_bitwise_identical(model_and_params):
+    model, params, x, t = model_and_params
+    cast = cast_params_for_inference(params)
+    y0 = model.apply(params, x, t)
+    y1 = model.apply(cast, x, t)
+    assert y0.dtype == y1.dtype
+    assert bool(jnp.all(y0 == y1))
+
+
+def test_fp32_leaves_preserved(model_and_params):
+    _, params, _, _ = model_and_params
+    cast = cast_params_for_inference(params)
+    kept = {n for n, l in _leaf_paths(cast) if l.dtype == jnp.float32}
+    # scan-sensitive leaves stay fp32
+    for frag in ("A_log", "mixer/scan/D", "dt_proj_bias", "norm_weight",
+                 "pos_embed", "t_embedder", "x_embedder"):
+        assert any(frag in n for n in kept), f"{frag} was cast"
+    # the big GEMM weights are bf16
+    casted = {n for n, l in _leaf_paths(cast) if l.dtype == jnp.bfloat16}
+    for frag in ("in_proj", "out_proj", "x_proj_kernel", "dt_proj_kernel",
+                 "adaLN", "conv1d_weight"):
+        assert any(frag in n for n in casted), f"{frag} was not cast"
+
+
+def test_fp32_model_roundtrip_unchanged(model_and_params):
+    """For an fp32 tree consumed by an fp32 model, casting to fp32 is the
+    identity (no accidental dtype churn when mixed precision is off)."""
+    _, params, _, _ = model_and_params
+    out = cast_params_for_inference(params, jnp.float32)
+    for (n0, l0), (n1, l1) in zip(_leaf_paths(params), _leaf_paths(out)):
+        assert n0 == n1 and l0.dtype == l1.dtype

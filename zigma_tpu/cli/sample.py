@@ -19,6 +19,7 @@ import numpy as np
 from zigma_tpu.config import load_config
 from zigma_tpu.train import LATENT_SCALE, restore_checkpoint
 from zigma_tpu.transport import Sampler, create_transport
+from zigma_tpu.utils.inference import cast_params_for_inference
 from zigma_tpu.utils.logging_utils import create_logger
 from zigma_tpu.cli.train import DEFAULT_CONFIG_DIR, build_model
 
@@ -108,6 +109,10 @@ def main(argv=None):
         shape = (bs, cfg.data["video_frames"], *shape[1:])
 
     params = load_params(cfg, model, shape)
+    if model.dtype == jnp.bfloat16:
+        # hoist the per-call fp32->bf16 weight converts out of the jit
+        # (~1 ms/forward on the flagship; bit-identical outputs)
+        params = cast_params_for_inference(params, jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info("loaded %.2fM params from %s", n_params / 1e6, cfg.get("ckpt"))
 

@@ -72,6 +72,10 @@ class GenerationWorker:
                                  *self.latent_shape)
         self.params = load_params(cfg, self.model,
                                   (max_batch, *self.latent_shape))
+        if self.model.dtype == jnp.bfloat16:
+            from zigma_tpu.utils.inference import cast_params_for_inference
+            # hoist the per-call fp32->bf16 weight converts out of the jit
+            self.params = cast_params_for_inference(self.params, jnp.bfloat16)
         mode, fn = build_sample_fn(cfg, Sampler(create_transport(
             cfg.train.get("path_type", "Linear"),
             cfg.train.get("prediction", "velocity"),
