@@ -53,7 +53,7 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
                  y_ref, carry_ref, xlast_ref,                    # outputs
                  state_ref, decay_s, w_s, xs_s,                  # scratch
                  *, softplus: bool, group: int, fuse_gate: bool):
-    """One (batch, d-block, chunk) grid step.
+    """One (batch, chunk, d-block) grid step.
 
     Block shapes:
       u_ref, dt_ref: (1, BL, BD)    — time on sublanes, channels on lanes
@@ -64,10 +64,19 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
                      (BL, N) block would put n on lanes and force a
                      lane->sublane relayout per chunk); packing both into
                      one lane-padded tensor halves that stream's HBM
-                     traffic (measured 1.70 -> 1.49 ms on the flagship)
+                     traffic (measured 1.70 -> 1.49 ms on the flagship).
+                     The d-block axis is INNERMOST in the grid so the lane-
+                     padded BC block (the kernel's widest physical stream)
+                     stays resident across all D//BD d-blocks of a chunk
+                     instead of being re-fetched per d-block — Pallas
+                     elides the copy when consecutive grid steps map to
+                     the same block index
       y_ref:         (1, BL, BD)
-      state_ref:     (N, BD) fp32 scratch; persists across the (sequential)
-                     chunk grid dimension = the inter-chunk carry
+      state_ref:     (n_dblocks, N, BD) fp32 scratch; slot j persists
+                     across the (sequential) chunk grid dimension = the
+                     inter-chunk carry for d-block j.  Full-width so the
+                     chunk axis can sit OUTSIDE the d-block axis (costs
+                     only N*D*4 bytes)
       decay_s, w_s:  (BL, N, BD) full-chunk exp(dt*A) and dt*u*B in the
                      input dtype (bf16 inputs -> bf16 scratch: the loop is
                      VMEM-bandwidth-bound, halving operand bytes ~doubles
@@ -83,18 +92,19 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
     FMAs.  Swept on v5e for the flagship shape: group=4 is the optimum
     (1.36 ms vs 1.65 at 8, 1.54 at 2, 1.81 at 1).
     """
-    k = pl.program_id(2)
-    n_chunks = pl.num_programs(2)
+    k = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    j = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         # initial state: zeros by default; callers (decode prefill,
         # sequence-parallel sharding) pass an incoming state
-        state_ref[...] = x0_ref[0]
+        state_ref[j] = x0_ref[0]
 
     # chunk-START state, saved for the backward pass (the CUDA kernel's
     # ``x`` intermediates tensor)
-    carry_ref[0, 0] = state_ref[...]
+    carry_ref[0, 0] = state_ref[j]
 
     u = u_ref[0].astype(jnp.float32)          # (BL, BD)
     dt = dt_ref[0].astype(jnp.float32) + bias_ref[0][None, :]
@@ -121,8 +131,8 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
             xs_s[base + j] = x.astype(cdtype)
         return x
 
-    state = jax.lax.fori_loop(0, BL // group, body, state_ref[...])
-    state_ref[...] = state
+    state = jax.lax.fori_loop(0, BL // group, body, state_ref[j])
+    state_ref[j] = state
 
     @pl.when(k == n_chunks - 1)
     def _():
@@ -278,10 +288,16 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
         z = jnp.zeros((batch, 8, D), u.dtype)  # dummy, minimal stream
     BLz = BL if fuse_gate else 8
 
-    grid = (batch, D // BD, n_chunks)
+    # d-block axis INNERMOST: consecutive grid steps then share the same
+    # BC block (index map ignores j), so Pallas fetches the lane-padded BC
+    # stream once per (batch, chunk) instead of once per d-block — on the
+    # flagship (3 d-blocks) that cuts the kernel's widest physical stream
+    # by 3x (~128 MiB/layer of HBM traffic)
+    n_dblocks = D // BD
+    grid = (batch, n_chunks, n_dblocks)
 
     bc_sz = BC.dtype.itemsize
-    scratch_total = N * BD * 4 + 3 * BL * N * BD * cdtype_size
+    scratch_total = n_dblocks * N * BD * 4 + 3 * BL * N * BD * cdtype_size
     block_total = (3 * BL * BD * cdtype_size        # u, delta, y
                    + BLz * BD * cdtype_size         # z
                    + BL * N * 2 * bc_sz             # BC
@@ -294,21 +310,21 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
                           fuse_gate=fuse_gate),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
-            pl.BlockSpec((1, BD), lambda b, j, k: (0, j)),
-            pl.BlockSpec((N, BD), lambda b, j, k: (0, j)),
-            pl.BlockSpec((1, BL, N, 2), lambda b, j, k: (b, k, 0, 0)),
-            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
-            pl.BlockSpec((1, BD), lambda b, j, k: (0, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, k, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, k, j)),
+            pl.BlockSpec((1, BD), lambda b, k, j: (0, j)),
+            pl.BlockSpec((N, BD), lambda b, k, j: (0, j)),
+            pl.BlockSpec((1, BL, N, 2), lambda b, k, j: (b, k, 0, 0)),
+            pl.BlockSpec((1, N, BD), lambda b, k, j: (b, 0, j)),
+            pl.BlockSpec((1, BD), lambda b, k, j: (0, j)),
             pl.BlockSpec((1, BLz, BD),
-                         (lambda b, j, k: (b, k, j)) if fuse_gate
-                         else (lambda b, j, k: (b, 0, j))),
+                         (lambda b, k, j: (b, k, j)) if fuse_gate
+                         else (lambda b, k, j: (b, 0, j))),
         ],
         out_specs=(
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, k, j)),
-            pl.BlockSpec((1, 1, N, BD), lambda b, j, k: (b, k, 0, j)),
-            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, k, j)),
+            pl.BlockSpec((1, 1, N, BD), lambda b, k, j: (b, k, 0, j)),
+            pl.BlockSpec((1, N, BD), lambda b, k, j: (b, 0, j)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, L, D), u.dtype),
@@ -316,7 +332,7 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
             jax.ShapeDtypeStruct((batch, N, D), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, BD), jnp.float32),
+            pltpu.VMEM((n_dblocks, N, BD), jnp.float32),
             pltpu.VMEM((BL, N, BD), cdtype),
             pltpu.VMEM((BL, N, BD), cdtype),
             pltpu.VMEM((BL, N, BD), cdtype),
