@@ -365,27 +365,36 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
                      carry_ref, gy_ref, glast_ref, D_ref, z_ref,  # inputs
                      du_ref, dd_ref, dBp_ref, dCp_ref, dAp_ref,
                      dx0_ref, dz_ref, dDp_ref,                   # outputs
-                     gcarry_s, decay_s, w_s, xs_s, gs_s,         # scratch
+                     gcarry_s, dA_s, dD_s, decay_s, w_s, xs_s, gs_s,  # scratch
                      *, softplus: bool, fuse_gate: bool):
     """Reverse grid step: chunk kk = n_chunks-1-k (via index maps).
 
     Recomputes in-chunk states from the saved chunk-start carry, runs the
     adjoint reverse recurrence g_t = dy_t*C_t + decay_{t+1} g_{t+1} with the
-    inter-chunk cotangent in ``gcarry_s``, then emits all gradient pieces in
-    bulk passes.  dB/dC come out as per-d-block partials and dA as per-batch
-    partials (summed outside) so every output block is revisited contiguously
-    — the deterministic replacement for the CUDA kernel's atomics.
+    inter-chunk cotangent in ``gcarry_s`` (slot j = this d-block), then
+    emits all gradient pieces in bulk passes.  dB/dC come out as per-d-block
+    partials and dA as per-batch partials (summed outside) — the
+    deterministic replacement for the CUDA kernel's atomics.
+
+    Like the forward, the d-block axis is innermost so the lane-padded BC
+    block stays resident across all D//BD d-blocks of a chunk.  The
+    chunk-crossing accumulators (gcarry, dA, dD partials) therefore live in
+    per-d-block scratch slots and the dA/dD/dx0 OUTPUT blocks are written
+    once, on the final chunk — output blocks cannot accumulate across
+    non-consecutive grid revisits.
     """
-    k = pl.program_id(2)
+    k = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    j = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         # cotangent of the FINAL state seeds the adjoint (zero unless the
         # caller consumed x_last, e.g. sequence-parallel / prefill)
-        gcarry_s[...] = glast_ref[0]
-        dAp_ref[0] = jnp.zeros_like(dAp_ref[0])
+        gcarry_s[j] = glast_ref[0]
+        dA_s[j] = jnp.zeros_like(dA_s[j])
         if fuse_gate:
-            dDp_ref[...] = jnp.zeros_like(dDp_ref[...])
+            dD_s[j] = jnp.zeros_like(dD_s[j])
 
     u = u_ref[0].astype(jnp.float32)                       # (BL, BD)
     dt_pre = dt_ref[0].astype(jnp.float32) + bias_ref[0][None, :]
@@ -419,9 +428,9 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
         base = pl.multiple_of(g_i * G, G)
         dg = decay_s[pl.ds(base, G)].astype(jnp.float32)
         wg = w_s[pl.ds(base, G)].astype(jnp.float32)
-        for j in range(G):
-            x = dg[j] * x + wg[j]
-            xs_s[base + j] = x.astype(cdtype)
+        for jj in range(G):
+            x = dg[jj] * x + wg[jj]
+            xs_s[base + jj] = x.astype(cdtype)
         return x
 
     jax.lax.fori_loop(0, BL // G, fwd_group, carry_ref[0, 0])
@@ -433,13 +442,13 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
         base = pl.multiple_of(BL - (g_i + 1) * G, G)
         dxg = gs_s[pl.ds(base, G)]
         dg = decay_s[pl.ds(base, G)].astype(jnp.float32)
-        for j in range(G - 1, -1, -1):
-            g = dxg[j] + c
-            gs_s[base + j] = g
-            c = dg[j] * g
+        for jj in range(G - 1, -1, -1):
+            g = dxg[jj] + c
+            gs_s[base + jj] = g
+            c = dg[jj] * g
         return c
 
-    gcarry_s[...] = jax.lax.fori_loop(0, BL // G, bwd_group, gcarry_s[...])
+    gcarry_s[j] = jax.lax.fori_loop(0, BL // G, bwd_group, gcarry_s[j])
 
     # bulk gradient assembly
     gs = gs_s[...]                                          # (BL, N, BD) f32
@@ -458,14 +467,21 @@ def _scan_bwd_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
         out_pre = y + u * Dp
         dz_ref[0] = (g_out * out_pre
                      * (sig_z * (1.0 + z * (1.0 - sig_z)))).astype(dz_ref.dtype)
-        dDp_ref[0] = dDp_ref[0] + jnp.sum(gy * u, axis=0, keepdims=True)
+        dD_s[j] = dD_s[j] + jnp.sum(gy * u, axis=0, keepdims=True)
     du_ref[0] = du.astype(du_ref.dtype)
     dBp_ref[0, 0] = jnp.sum(gs * dtu[:, None, :], axis=2).astype(dBp_ref.dtype)
     dCp_ref[0, 0] = jnp.sum(gy[:, None, :] * xs, axis=2).astype(dCp_ref.dtype)
-    dAp_ref[0] = dAp_ref[0] + jnp.sum(dla * dt[:, None, :], axis=0)
-    # after the LAST grid step for this (b, j) — chunk 0 — gcarry holds the
-    # cotangent w.r.t. the initial state (contiguously revisited block)
-    dx0_ref[0] = gcarry_s[...]
+    dA_s[j] = dA_s[j] + jnp.sum(dla * dt[:, None, :], axis=0)
+
+    @pl.when(k == n_chunks - 1)
+    def _():
+        # final grid step for this (b, j) — chunk 0 of the reversed order:
+        # flush the chunk-crossing accumulators.  gcarry now holds the
+        # cotangent w.r.t. the initial state.
+        dAp_ref[0] = dA_s[j]
+        dx0_ref[0] = gcarry_s[j]
+        if fuse_gate:
+            dDp_ref[0] = dD_s[j]
 
 
 @functools.partial(jax.jit, static_argnames=("softplus", "block_l", "block_d",
@@ -497,14 +513,18 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
         Dskip = jnp.zeros((D,), jnp.float32)
         z = jnp.zeros((batch, 8, D), u.dtype)
     BLz = BL if fuse_gate else 8
-    z_map = ((lambda b, j, k: (b, nc - 1 - k, j)) if fuse_gate
-             else (lambda b, j, k: (b, 0, j)))
+    z_map = ((lambda b, k, j: (b, nc - 1 - k, j)) if fuse_gate
+             else (lambda b, k, j: (b, 0, j)))
 
-    grid = (batch, nD, n_chunks)
+    # d-block axis innermost (as in the forward): the lane-padded BC block
+    # stays resident across the nD d-blocks of a chunk instead of being
+    # re-fetched nD times (nD=6 at the flagship bwd blocking)
+    grid = (batch, n_chunks, nD)
     nc = n_chunks  # reverse chunk order via index maps
 
     bc_sz = BC.dtype.itemsize
-    scratch_total = N * BD * 4 * 1 + BL * N * BD * (3 * cdtype_size + 4)
+    scratch_total = (nD * N * BD * 4 * 2 + nD * BD * 4
+                     + BL * N * BD * (3 * cdtype_size + 4))
     block_total = (5 * BL * BD * cdtype_size        # u, delta, gy, du, dd
                    + 2 * BLz * BD * cdtype_size     # z, dz
                    + BL * N * 2 * bc_sz             # BC
@@ -518,26 +538,26 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
                           fuse_gate=fuse_gate),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
-            pl.BlockSpec((1, BD), lambda b, j, k: (0, j)),
-            pl.BlockSpec((N, BD), lambda b, j, k: (0, j)),
-            pl.BlockSpec((1, BL, N, 2), lambda b, j, k: (b, nc - 1 - k, 0, 0)),
-            pl.BlockSpec((1, 1, N, BD), lambda b, j, k: (b, nc - 1 - k, 0, j)),
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
-            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
-            pl.BlockSpec((1, BD), lambda b, j, k: (0, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, BD), lambda b, k, j: (0, j)),
+            pl.BlockSpec((N, BD), lambda b, k, j: (0, j)),
+            pl.BlockSpec((1, BL, N, 2), lambda b, k, j: (b, nc - 1 - k, 0, 0)),
+            pl.BlockSpec((1, 1, N, BD), lambda b, k, j: (b, nc - 1 - k, 0, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, N, BD), lambda b, k, j: (b, 0, j)),
+            pl.BlockSpec((1, BD), lambda b, k, j: (0, j)),
             pl.BlockSpec((1, BLz, BD), z_map),
         ],
         out_specs=(
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
-            pl.BlockSpec((1, BL, BD), lambda b, j, k: (b, nc - 1 - k, j)),
-            pl.BlockSpec((1, 1, BL, N), lambda b, j, k: (b, j, nc - 1 - k, 0)),
-            pl.BlockSpec((1, 1, BL, N), lambda b, j, k: (b, j, nc - 1 - k, 0)),
-            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
-            pl.BlockSpec((1, N, BD), lambda b, j, k: (b, 0, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, BL, BD), lambda b, k, j: (b, nc - 1 - k, j)),
+            pl.BlockSpec((1, 1, BL, N), lambda b, k, j: (b, j, nc - 1 - k, 0)),
+            pl.BlockSpec((1, 1, BL, N), lambda b, k, j: (b, j, nc - 1 - k, 0)),
+            pl.BlockSpec((1, N, BD), lambda b, k, j: (b, 0, j)),
+            pl.BlockSpec((1, N, BD), lambda b, k, j: (b, 0, j)),
             pl.BlockSpec((1, BLz, BD), z_map),
-            pl.BlockSpec((1, 1, BD), lambda b, j, k: (b, 0, j)),
+            pl.BlockSpec((1, 1, BD), lambda b, k, j: (b, 0, j)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, L, D), u.dtype),
@@ -551,7 +571,9 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
             jax.ShapeDtypeStruct((batch, 1, D), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N, BD), jnp.float32),
+            pltpu.VMEM((nD, N, BD), jnp.float32),   # gcarry per d-block
+            pltpu.VMEM((nD, N, BD), jnp.float32),   # dA partial per d-block
+            pltpu.VMEM((nD, 1, BD), jnp.float32),   # dD partial per d-block
             pltpu.VMEM((BL, N, BD), cdtype),
             pltpu.VMEM((BL, N, BD), cdtype),
             pltpu.VMEM((BL, N, BD), cdtype),
