@@ -206,8 +206,9 @@ def _blocks(L, D, N, itemsize, block_l, block_d, group):
     """Pick (BL, BD) so the kernel's VMEM scratch fits the budget.
 
     The scratch model is the BACKWARD kernel's (3 chunk-dtype (BL, N, BD)
-    buffers + 1 fp32 + 2 fp32 (N, BD) carries) — the tighter of the two —
-    for BOTH kernels, so fwd and bwd always agree on BL: the bwd consumes
+    buffers + 1 fp32, plus the full-width per-d-block carry/partial slots)
+    — the tighter of the two — for BOTH kernels, so fwd and bwd agree on
+    BL: the bwd consumes
     the fwd's (B, n_chunks, N, D) carries and n_chunks = L/BL must match.
     When the flagship-tuned blocks overflow (large N), BD shrinks first (to
     one 128-lane tile), then BL (to the loop group) — extending the envelope
@@ -225,7 +226,11 @@ def _blocks(L, D, N, itemsize, block_l, block_d, group):
             f"of {group} or use backend='chunked'")
 
     def scratch_bytes(bl, bd):
-        return bl * N * bd * (3 * itemsize + 4) + 2 * N * bd * 4
+        # 3 chunk-dtype + 1 fp32 (BL, N, BD) buffers, plus the d-block-
+        # innermost carry scratch: gcarry + dA partials (2 * nD * N * BD * 4
+        # = 8*N*D, BD-independent) and the dD partial row (4*D)
+        return (bl * N * bd * (3 * itemsize + 4)
+                + 8 * N * D + 4 * D)
 
     while scratch_bytes(BL, BD) > _VMEM_SCRATCH_BUDGET and BD > 128:
         BD //= 2  # halving a divisor of D keeps it a divisor
