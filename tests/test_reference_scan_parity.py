@@ -183,3 +183,75 @@ def test_selective_scan_gradients_match_reference_autograd(with_z):
     for n in names:
         np.testing.assert_allclose(got[n], ref_grads[n], rtol=2e-3,
                                    atol=2e-3, err_msg=f"grad {n}")
+
+
+@pytest.mark.parametrize("static_bc", [False, True])
+def test_selective_scan_complex_matches_reference_golden(static_bc):
+    """Complex64 A (+ complex variable B/C) — the reference kernel's
+    S4D-complex weight dispatch (selective_scan.cpp:328-332), certified
+    against the same golden model (selective_scan_interface.py:111-145):
+    recurrence in complex, real output doubled.  The reference feeds
+    variable complex B/C as real (B, N, 2L) interleaved re/im; ours takes
+    complex (B, L, N) directly."""
+    import torch
+
+    selective_scan_ref, _ = _refs
+    rng = np.random.default_rng(7 + static_bc)
+    B_, D, N, L = 2, 6, 8, 48
+    u = rng.standard_normal((B_, D, L)).astype(np.float32)
+    delta = (0.1 * np.abs(rng.standard_normal((B_, D, L)))).astype(np.float32)
+    A = (-np.abs(rng.standard_normal((D, N)))
+         + 1j * rng.standard_normal((D, N))).astype(np.complex64)
+    Dskip = rng.standard_normal(D).astype(np.float32)
+    if static_bc:
+        Bv = (rng.standard_normal((D, N))
+              + 1j * rng.standard_normal((D, N))).astype(np.complex64)
+        Cv = (rng.standard_normal((D, N))
+              + 1j * rng.standard_normal((D, N))).astype(np.complex64)
+        ref_B, ref_C = _t(Bv), _t(Cv)
+        our_B, our_C = Bv, Cv
+    else:
+        Bc = (rng.standard_normal((B_, N, L))
+              + 1j * rng.standard_normal((B_, N, L))).astype(np.complex64)
+        Cc = (rng.standard_normal((B_, N, L))
+              + 1j * rng.standard_normal((B_, N, L))).astype(np.complex64)
+        # reference layout: real (B, N, 2L) with interleaved re/im along L
+        ref_B = _t(np.stack([Bc.real, Bc.imag], -1).reshape(B_, N, 2 * L))
+        ref_C = _t(np.stack([Cc.real, Cc.imag], -1).reshape(B_, N, 2 * L))
+        our_B, our_C = (np.transpose(Bc, (0, 2, 1)),
+                        np.transpose(Cc, (0, 2, 1)))
+
+    ref_out, ref_last = selective_scan_ref(
+        _t(u), _t(delta), torch.from_numpy(A), ref_B, ref_C, D=_t(Dskip),
+        delta_softplus=True, return_last_state=True)
+
+    from zigma_tpu.ops.selective_scan import selective_scan
+
+    for backend in ("ref", "assoc"):
+        out, last = selective_scan(
+            np.transpose(u, (0, 2, 1)), np.transpose(delta, (0, 2, 1)),
+            A, our_B, our_C, D=Dskip, delta_softplus=True,
+            return_last_state=True, backend=backend)
+        np.testing.assert_allclose(
+            np.asarray(out), np.transpose(ref_out.numpy(), (0, 2, 1)),
+            rtol=3e-4, atol=3e-4, err_msg=f"backend={backend}")
+        np.testing.assert_allclose(
+            np.asarray(last), ref_last.numpy(),
+            rtol=3e-4, atol=3e-4, err_msg=f"backend={backend} last")
+
+
+def test_selective_scan_complex_rejects_fast_backends():
+    from zigma_tpu.ops.selective_scan import selective_scan
+
+    rng = np.random.default_rng(0)
+    B_, D, N, L = 1, 4, 4, 16
+    u = rng.standard_normal((B_, L, D)).astype(np.float32)
+    delta = np.abs(rng.standard_normal((B_, L, D))).astype(np.float32)
+    A = (-np.abs(rng.standard_normal((D, N)))
+         + 1j * rng.standard_normal((D, N))).astype(np.complex64)
+    Bv = rng.standard_normal((B_, L, N)).astype(np.float32)
+    Cv = rng.standard_normal((B_, L, N)).astype(np.float32)
+    with pytest.raises(ValueError, match="real-only"):
+        selective_scan(u, delta, A, Bv, Cv, backend="chunked")
+    with pytest.raises(ValueError, match="real-only"):
+        selective_scan(u, delta, A, Bv, Cv, backend="pallas")

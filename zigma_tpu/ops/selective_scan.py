@@ -30,8 +30,16 @@ Design notes (TPU-first, not a translation):
 
 All internal accumulation is float32 regardless of input dtype, matching the
 reference kernel's fp32 state/weight discipline (selective_scan.cpp:282-293).
-Complex-valued ``A`` (vestigial in the reference; unused by every shipped
-ZigMa config) is intentionally unsupported.
+
+Complex-valued ``A``/``B``/``C`` (the reference kernel's complex64 weight
+dispatch, selective_scan.cpp:14-51,328-332 — the S4D-complex mode; unused by
+every shipped ZigMa config) is supported on the ``ref`` and ``assoc``
+backends: the recurrence runs in complex64 and the real output doubles the
+real part, ``y = 2*Re(<C_t, x_t>)``, exactly as the reference golden model
+(selective_scan_interface.py:143-145).  Complex B/C are passed as complex
+(B, L, N) arrays (the JAX-native form of the reference's packed-real
+``(B, N, 2L)`` view_as_complex layout).  The chunked/pallas fast paths stay
+real-only — ``backend="auto"`` routes complex inputs to ``assoc``.
 """
 
 from __future__ import annotations
@@ -51,7 +59,14 @@ __all__ = [
 
 
 def _f32(x):
+    """fp32 compute dtype — complex inputs keep their imaginary part."""
+    if jnp.iscomplexobj(x):
+        return x.astype(jnp.complex64)
     return x.astype(jnp.float32)
+
+
+def _is_complex(*arrays):
+    return any(a is not None and jnp.iscomplexobj(a) for a in arrays)
 
 
 def _apply_delta_prep(delta, delta_bias, delta_softplus):
@@ -125,13 +140,20 @@ def selective_scan_ref(
     log_a = delta[..., None] * A  # (B, L, D, N)
     b = (delta * uf)[..., None] * Bv
 
+    cplx = _is_complex(A, Bv, Cv)
+
     def step(x, inp):
         la_t, b_t, c_t = inp
         x = jnp.exp(la_t) * x + b_t
         y = jnp.sum(x * c_t, axis=-1)
+        if cplx:
+            # reference complex mode: y = 2 * Re(<C, x>)
+            # (selective_scan_interface.py:143-145)
+            y = 2.0 * y.real
         return x, y
 
-    x0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+    x0 = jnp.zeros((batch, d_inner, N),
+                   jnp.complex64 if cplx else jnp.float32)
     # scan over time: move L to the leading axis
     xs_last, ys = jax.lax.scan(
         step,
@@ -175,12 +197,18 @@ def _selective_scan_assoc(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     Bv = _expand_bc(B, batch, L, d_inner)
     Cv = _expand_bc(C, batch, L, d_inner)
 
+    cplx = _is_complex(A, Bv, Cv)
     log_a = delta[..., None] * _f32(A)  # (B, L, D, N)
     b = (delta * uf)[..., None] * Bv  # broadcast over D or N as needed
+    if cplx:
+        log_a = log_a.astype(jnp.complex64)
+        b = b.astype(jnp.complex64)
     b = jnp.broadcast_to(b, log_a.shape)
 
     _, xs = jax.lax.associative_scan(_scan_combine, (log_a, b), axis=1)
     y = jnp.sum(xs * Cv, axis=-1)  # (B, L, D)
+    if cplx:
+        y = 2.0 * y.real  # reference complex mode (2x real part)
     out = y if D is None else y + uf * _f32(D)
     if z is not None:
         out = out * jax.nn.silu(_f32(z))
@@ -456,6 +484,15 @@ def selective_scan(
     chunked jnp path must materialize (B, L, D, N) in HBM.  Elsewhere:
     chunked for variable B/C, assoc for static B/C.
     """
+    cplx = _is_complex(A, B, C)
+    if backend == "auto" and cplx:
+        # complex64 weights (the reference kernel's S4D-complex dispatch):
+        # recurrence in complex, real output doubled — jnp backends only
+        backend = "assoc"
+    if cplx and backend in ("chunked", "pallas"):
+        raise ValueError(
+            f"backend={backend!r} is real-only; complex A/B/C run on "
+            f"'assoc' or 'ref' (auto picks assoc)")
     if backend == "auto":
         from zigma_tpu.ops.scan_pallas import (
             pallas_seq_aligned, pallas_shape_supported)
