@@ -41,6 +41,11 @@ def test_dryrun_multichip_backend_already_initialized():
     proc = _run(
         "import sys; sys.path.insert(0, %r)\n"
         "import jax\n"
+        # force CPU in-config too: sitecustomize overrides the env var with
+        # jax_platforms='axon,cpu', and when the axon tunnel is down a bare
+        # jax.devices() hangs on TPU client init — this test is about the
+        # wrong DEVICE COUNT, not about which platform answers
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "assert len(jax.devices()) == 1  # backend now up, wrong count\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(8)\n" % REPO,
