@@ -87,13 +87,17 @@ def causal_conv1d_update(x, conv_state, weight, bias=None, activation="silu"):
     B, D = x.shape
     W = weight.shape[-1]
     new_state = jnp.concatenate([conv_state[:, 1:], x[:, None, :]], axis=1)
+    # compute in x.dtype, matching causal_conv1d: prefill and step must be
+    # the same function for cache-consistency (a bf16 prefill followed by
+    # fp32 steps would make decode diverge from the parallel scan)
+    cdtype = x.dtype
     y = jnp.einsum(
         "bwd,dw->bd",
-        new_state.astype(jnp.float32),
-        weight.astype(jnp.float32),
+        new_state.astype(cdtype),
+        weight.astype(cdtype),
     )
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(cdtype)
     if activation in ("silu", "swish"):
         y = jax.nn.silu(y)
     elif activation is not None:

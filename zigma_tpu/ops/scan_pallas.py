@@ -11,10 +11,14 @@ TPU-native design:
   chunks by the sequential TPU grid, mirroring the CUDA kernel's
   chunked-prefix scheme (selective_scan.cpp:307-313) with zero HBM
   intermediate traffic.
-- Grid = (batch, d_inner/BD, L/BL) with the chunk axis innermost: Pallas TPU
-  grids iterate sequentially, so VMEM scratch persists across chunk steps
-  and acts as the inter-chunk carry (the CUDA version spills carries to the
-  ``x`` intermediates tensor instead).
+- Grid = (batch, L/BL, d_inner/BD) with the D-BLOCK axis innermost: Pallas
+  TPU grids iterate sequentially, so VMEM scratch persists across grid
+  steps and acts as the inter-chunk carry — one ``(n_dblocks, N, BD)``
+  slot per d-block, since all d-blocks of a chunk run before the next
+  chunk (the CUDA version spills carries to the ``x`` intermediates tensor
+  instead).  d-block-innermost keeps the lane-padded BC block (the widest
+  physical stream) resident across the d-blocks of a chunk: Pallas elides
+  the DMA when consecutive steps map to the same block index.
 - Layout: activations (B, L, D) channels-last (lanes = channels); A and the
   per-step B/C projections are passed time-minor/(N, L) so per-step columns
   broadcast along lanes without transposes.
@@ -126,9 +130,9 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
         base = pl.multiple_of(g * group, group)
         dg = decay_s[pl.ds(base, group)].astype(jnp.float32)   # (G, N, BD)
         wg = w_s[pl.ds(base, group)].astype(jnp.float32)
-        for j in range(group):
-            x = dg[j] * x + wg[j]                              # (N, BD)
-            xs_s[base + j] = x.astype(cdtype)
+        for jj in range(group):  # jj: loop step, NOT the grid d-block j
+            x = dg[jj] * x + wg[jj]                            # (N, BD)
+            xs_s[base + jj] = x.astype(cdtype)
         return x
 
     state = jax.lax.fori_loop(0, BL // group, body, state_ref[j])
@@ -182,12 +186,15 @@ def _vmem_limit(scratch_bytes_total, block_bytes_total):
     need = (3 * (scratch_bytes_total + 2 * block_bytes_total)) // 2
     return max(need, _VMEM_LIMIT_FLOOR)
 
-# grid = (batch, d-block, chunk).  All three axes stay "arbitrary"
-# (sequential): the VMEM scratch carries state along the chunk axis,
-# re-seeded at k==0 per (batch, d-block) cell.  Marking batch/d-block
-# "parallel" was tried and produced CORRUPT gradients on hardware (round-2
-# kernel check: du/ddelta/dA/dB off by 1e3 while the carry-free dC stayed
-# exact) — Mosaic may reorder parallel dims around the scratch carry.
+# grid = (batch, chunk, d-block) — d-block INNERMOST so the lane-padded BC
+# block stays resident across a chunk's d-blocks (see module docstring).
+# All three axes stay "arbitrary" (sequential): the VMEM scratch carries
+# per-d-block state slots along the chunk axis, re-seeded at k==0.
+# Marking batch/d-block "parallel" was tried (on the older
+# chunk-innermost grid) and produced CORRUPT gradients on hardware
+# (round-2 kernel check: du/ddelta/dA/dB off by 1e3 while the carry-free
+# dC stayed exact) — Mosaic may reorder parallel dims around the scratch
+# carry.
 #
 # Rejected (round 2, measured): replacing the materialized w_s = dt*u*B
 # buffer with a (BL, 1, BD) dt*u scratch + an in-loop outer product

@@ -31,11 +31,12 @@ Design notes (TPU-first, not a translation):
 All internal accumulation is float32 regardless of input dtype, matching the
 reference kernel's fp32 state/weight discipline (selective_scan.cpp:282-293).
 
-Complex-valued ``A``/``B``/``C`` (the reference kernel's complex64 weight
-dispatch, selective_scan.cpp:14-51,328-332 — the S4D-complex mode; unused by
-every shipped ZigMa config) is supported on the ``ref`` and ``assoc``
-backends: the recurrence runs in complex64 and the real output doubles the
-real part, ``y = 2*Re(<C_t, x_t>)``, exactly as the reference golden model
+Complex-valued ``A`` (the reference kernel's complex64 weight dispatch,
+selective_scan.cpp:14-51,328-332 — the S4D-complex mode; unused by every
+shipped ZigMa config), optionally with complex B/C, is supported on the
+``ref`` and ``assoc`` backends: the recurrence runs in complex64 and the
+real output doubles the real part, ``y = 2*Re(<C_t, x_t>)``, exactly as
+the reference golden model
 (selective_scan_interface.py:143-145).  Complex B/C are passed as complex
 (B, L, N) arrays (the JAX-native form of the reference's packed-real
 ``(B, N, 2L)`` view_as_complex layout).  The chunked/pallas fast paths stay
@@ -140,7 +141,10 @@ def selective_scan_ref(
     log_a = delta[..., None] * A  # (B, L, D, N)
     b = (delta * uf)[..., None] * Bv
 
-    cplx = _is_complex(A, Bv, Cv)
+    cplx = _is_complex(A)
+    if _is_complex(Bv, Cv) and not cplx:
+        raise ValueError("complex B/C require complex A (the reference's "
+                         "S4D-complex mode dispatches on A's dtype)")
 
     def step(x, inp):
         la_t, b_t, c_t = inp
@@ -197,7 +201,10 @@ def _selective_scan_assoc(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
     Bv = _expand_bc(B, batch, L, d_inner)
     Cv = _expand_bc(C, batch, L, d_inner)
 
-    cplx = _is_complex(A, Bv, Cv)
+    cplx = _is_complex(A)
+    if _is_complex(Bv, Cv) and not cplx:
+        raise ValueError("complex B/C require complex A (the reference's "
+                         "S4D-complex mode dispatches on A's dtype)")
     log_a = delta[..., None] * _f32(A)  # (B, L, D, N)
     b = (delta * uf)[..., None] * Bv  # broadcast over D or N as needed
     if cplx:
@@ -484,14 +491,22 @@ def selective_scan(
     chunked jnp path must materialize (B, L, D, N) in HBM.  Elsewhere:
     chunked for variable B/C, assoc for static B/C.
     """
-    cplx = _is_complex(A, B, C)
+    cplx = _is_complex(A)
+    if _is_complex(B, C) and not cplx:
+        # the 2x-real-part output convention is the S4D conjugate-pair
+        # trick, defined by COMPLEX A (the reference dispatches on
+        # A.is_complex() only, selective_scan_interface.py:111); complex
+        # B/C with real A has no reference semantics — reject rather than
+        # silently double the output
+        raise ValueError("complex B/C require complex A (the reference's "
+                         "S4D-complex mode dispatches on A's dtype)")
     if backend == "auto" and cplx:
         # complex64 weights (the reference kernel's S4D-complex dispatch):
         # recurrence in complex, real output doubled — jnp backends only
         backend = "assoc"
     if cplx and backend in ("chunked", "pallas"):
         raise ValueError(
-            f"backend={backend!r} is real-only; complex A/B/C run on "
+            f"backend={backend!r} is real-only; complex A runs on "
             f"'assoc' or 'ref' (auto picks assoc)")
     if backend == "auto":
         from zigma_tpu.ops.scan_pallas import (
