@@ -206,3 +206,74 @@ def test_shape_supported_guard():
     # auto dispatch must not raise (falls back to a jnp backend)
     y = selective_scan(u, delta, A_huge, B_huge, C_huge, backend="auto")
     assert jnp.all(jnp.isfinite(y))
+
+
+class TestMultiDBlock:
+    """The d-block-innermost grid (round 2): every shape above runs with a
+    single d-block (D <= block_d), so these force nD > 1 via block_d
+    overrides — exercising the per-d-block state/gcarry/dA scratch slots
+    and the write-once-on-final-chunk output flush across BOTH grid axes
+    (L=256 -> 2 chunks x D=256/128 -> 2 d-blocks)."""
+
+    def _core_inputs(self, dtype=jnp.float32):
+        u, delta, A, B, C, Dskip = _make_inputs(
+            jax.random.PRNGKey(11), batch=2, L=256, D=256, dtype=dtype)
+        bias = jnp.full((u.shape[-1],), 0.05, jnp.float32)
+        return u, delta, A, B, C, Dskip, bias
+
+    def test_fwd_core_nd2(self):
+        from zigma_tpu.ops.scan_pallas import scan_core_fwd_pallas
+
+        u, delta, A, B, C, _, bias = self._core_inputs()
+        y_ref, last_ref = selective_scan_ref(
+            u, delta, A, B, C, delta_bias=bias, delta_softplus=True,
+            return_last_state=True)
+        y, carries, x_last = scan_core_fwd_pallas(
+            u, delta, bias, A, B, C, block_d=128, interpret=True)
+        assert carries.shape == (2, 2, 16, 256)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-3, atol=6e-4)
+        # x_last is (B, N, D); ref last state is (B, D, N)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(x_last, 1, 2)), np.asarray(last_ref),
+            rtol=2e-3, atol=6e-4)
+
+    def test_fwd_gate_nd2(self):
+        from zigma_tpu.ops.scan_pallas import scan_core_fwd_pallas
+
+        u, delta, A, B, C, Dskip, bias = self._core_inputs()
+        z = jax.random.normal(jax.random.PRNGKey(12), u.shape)
+        y_ref = selective_scan_ref(u, delta, A, B, C, Dskip, z=z,
+                                   delta_bias=bias, delta_softplus=True)
+        y, _, _ = scan_core_fwd_pallas(u, delta, bias, A, B, C, None,
+                                       Dskip, z, block_d=128,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-3, atol=6e-4)
+
+    def test_bwd_core_nd2(self):
+        from zigma_tpu.ops.scan_pallas import (scan_core_bwd_pallas,
+                                               scan_core_fwd_pallas)
+
+        u, delta, A, B, C, _, bias = self._core_inputs()
+        gy = jax.random.normal(jax.random.PRNGKey(13), u.shape)
+
+        def ref_loss(u, delta, A, B, C, bias):
+            y = selective_scan_ref(u, delta, A, B, C, delta_bias=bias,
+                                   delta_softplus=True)
+            return jnp.sum(y * gy)
+
+        g_ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4, 5))(
+            u, delta, A, B, C, bias)
+
+        _, carries, _ = scan_core_fwd_pallas(
+            u, delta, bias, A, B, C, block_d=128, interpret=True)
+        du, dd, dA, dB, dC, dbias, _ = scan_core_bwd_pallas(
+            u, delta, bias, A, B, C, carries, gy, block_d=128,
+            interpret=True)
+        for name, ours, ref in zip(
+                ["du", "ddelta", "dA", "dB", "dC", "dbias"],
+                (du, dd, dA, dB, dC, dbias), g_ref):
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-3,
+                err_msg=name)
