@@ -17,6 +17,7 @@ the iteration index so no per-call data upload is needed.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -28,7 +29,10 @@ def main():
     from zigma_tpu.models import ZigMa
     from zigma_tpu.transport import Sampler, create_transport
 
-    batch = 16
+    # batch 16 is the measured v5e throughput optimum (docs/DESIGN.md §9:
+    # the scan-path gathers fold into the in_proj read at b=16 but
+    # materialize at b>=32); override for sweeps only
+    batch = int(os.environ.get("ZIGMA_BENCH_BATCH", "16"))
     num_steps = 50
 
     model = ZigMa(
