@@ -277,3 +277,15 @@ class TestMultiDBlock:
             np.testing.assert_allclose(
                 np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-3,
                 err_msg=name)
+
+    def test_fwd_core_nd2_bf16(self):
+        from zigma_tpu.ops.scan_pallas import scan_core_fwd_pallas
+
+        u, delta, A, B, C, _, bias = self._core_inputs(dtype=jnp.bfloat16)
+        y_ref = selective_scan_ref(u, delta, A, B, C, delta_bias=bias,
+                                   delta_softplus=True)
+        y, _, _ = scan_core_fwd_pallas(
+            u, delta, bias, A, B, C, block_d=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+            rtol=3e-2, atol=5e-2)
