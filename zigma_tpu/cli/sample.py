@@ -203,7 +203,9 @@ def main(argv=None):
             and cfg.data.get("validation") and not cfg.data.get("synthetic")):
         from zigma_tpu.cli.train import wds_batches
 
-        real_gen = iter(wds_batches(cfg, model))
+        # score/compare against the VALIDATION split (one finite pass), not
+        # a resample of the infinite training stream
+        real_gen = iter(wds_batches(cfg, model, split="validation"))
 
     # latent decode for pixel-space metrics / PNGs (sample_acc.py:365)
     codec = None

@@ -191,11 +191,13 @@ class GenerationWorker:
                 cap = np.broadcast_to(
                     cap[None], (self.max_batch, *cap.shape))
             y = jnp.asarray(cap)
-        else:
+        elif cfg_scale != 1.0:
             # unconditional model: guidance is meaningless and warmup never
-            # compiles the use_cfg variant — coerce so the request path
-            # stays compile-free
-            cfg_scale = 1.0
+            # compiles the use_cfg variant — reject explicitly (consistent
+            # with the class-conditional no-null-row error) rather than
+            # silently serving unguided samples
+            raise ValueError(
+                "cfg_scale != 1 is meaningless for an unconditional model")
         req = _Request(n, int(seed), y, float(cfg_scale))
         self.queue.put(req)
         if not req.event.wait(timeout):

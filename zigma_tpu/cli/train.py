@@ -87,9 +87,14 @@ def synthetic_batches(cfg: Config, model: ZigMa, seed: int = 0):
         yield batch
 
 
-def wds_batches(cfg: Config, model: ZigMa):
+def wds_batches(cfg: Config, model: ZigMa, split: str = "train"):
     """Real tar-shard pipeline; key selection per dataset family mirrors
-    train_acc.py:287-396 get_data_generator."""
+    train_acc.py:287-396 get_data_generator.
+
+    split: "train" (infinite, shuffled) or "validation" (one finite pass) —
+    eval consumers (sample CLI metrics / likelihood) must score the
+    validation split, not a resample of the training stream.
+    """
     from zigma_tpu.data import WebDataModuleFromConfig
     from zigma_tpu.config import config_to_dict
 
@@ -97,7 +102,12 @@ def wds_batches(cfg: Config, model: ZigMa):
     dm_keys = ("tar_base", "batch_size", "image_size", "train", "validation",
                "multinode", "is_video", "video_frames", "val_batch_size")
     dm = WebDataModuleFromConfig(**{k: data[k] for k in dm_keys if k in data})
-    loader = dm.train_dataloader()
+    if split == "validation":
+        loader = dm.val_dataloader()
+    elif split == "train":
+        loader = dm.train_dataloader()
+    else:
+        raise ValueError(f"unknown split {split!r}")
     video = data.get("video_frames", 0) > 0
     rng = np.random.default_rng(jax.process_index())
     n_frames = int(data.get("video_frames", 0))

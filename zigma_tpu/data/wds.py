@@ -81,7 +81,12 @@ class _PipeStream:
         if self._proc.poll() is None:
             self._proc.terminate()
         rc = self._proc.wait()
-        if rc not in (0, None, -15):  # -SIGTERM: we cut the stream short
+        # accepted: clean exit, -SIGTERM (we cut the stream short), and
+        # SIGPIPE deaths (-13 direct, 141 = 128+13 via shell=True) — closing
+        # stdout while the child is still writing SIGPIPEs it before our
+        # terminate() lands, which is a healthy early-terminated stream,
+        # not a failure
+        if rc not in (0, None, -15, -13, 141):
             raise OSError(f"pipe command exited with {rc}")
 
     def __enter__(self):

@@ -154,8 +154,24 @@ def _try_jax_i3d_styleganv() -> Optional[Callable]:
     from zigma_tpu.convert.torchscript_i3d import convert_torchscript_i3d
     from zigma_tpu.metrics import i3d_jax
 
+    import os
+
+    explicit = os.environ.get("ZIGMA_I3D_TORCHSCRIPT")
     for cand in _weight_candidates("ZIGMA_I3D_TORCHSCRIPT",
                                    lambda f: "i3d" in f):
+        # cache-scan candidates must actually BE TorchScript archives:
+        # the converter's torch.load fallback would happily convert the
+        # videogpt raw state dict (i3d_pretrained_400.pt), silently pairing
+        # videogpt weights with the styleganv gating preprocessing — the
+        # exact flavor mix-up the detector pinning exists to prevent.  An
+        # explicitly pointed-at file (env var) is trusted as styleganv.
+        if cand != explicit:
+            try:
+                import torch
+
+                cand = torch.jit.load(cand, map_location="cpu")
+            except Exception:
+                continue
         try:
             params = convert_torchscript_i3d(cand)
         except Exception:

@@ -215,36 +215,33 @@ def styleganv_gating_preprocess(videos: np.ndarray,
     return jnp.transpose(v, (0, 4, 1, 2, 3))  # B C T H W
 
 
+def _make_extractor(params, preprocess, batch: int, resolution: int):
+    """(B, T, H, W, C) uint8 videos -> (B, 400) logits, batched through
+    ``preprocess`` (the only difference between the FVD flavors)."""
+
+    def extract(videos: np.ndarray) -> np.ndarray:
+        videos = np.asarray(videos)
+        outs = []
+        for i in range(0, videos.shape[0], batch):
+            chunk = preprocess(videos[i:i + batch], resolution)
+            outs.append(np.asarray(i3d_logits(params, chunk)))
+        return np.concatenate(outs, axis=0)
+
+    return extract
+
+
 def styleganv_extractor(params, batch: int = 8, resolution: int = 224):
     """(B, T, H, W, C) uint8 videos -> (B, 400) features through the
     StyleGAN-V gating pipeline (see styleganv_gating_preprocess); plug
     into ``VideoMetric(flavor="styleganv")``."""
-
-    def extract(videos: np.ndarray) -> np.ndarray:
-        videos = np.asarray(videos)
-        outs = []
-        for i in range(0, videos.shape[0], batch):
-            chunk = styleganv_gating_preprocess(videos[i:i + batch],
-                                                resolution)
-            outs.append(np.asarray(i3d_logits(params, chunk)))
-        return np.concatenate(outs, axis=0)
-
-    return extract
+    return _make_extractor(params, styleganv_gating_preprocess, batch,
+                           resolution)
 
 
 def i3d_extractor(params, batch: int = 8, resolution: int = 224):
-    """(B, T, H, W, C) uint8 videos -> (B, 400) FVD logits; plug into
-    ``VideoMetric``."""
-
-    def extract(videos: np.ndarray) -> np.ndarray:
-        videos = np.asarray(videos)
-        outs = []
-        for i in range(0, videos.shape[0], batch):
-            chunk = fvd_preprocess(videos[i:i + batch], resolution)
-            outs.append(np.asarray(i3d_logits(params, chunk)))
-        return np.concatenate(outs, axis=0)
-
-    return extract
+    """(B, T, H, W, C) uint8 videos -> (B, 400) FVD logits (videogpt
+    flavor preprocessing); plug into ``VideoMetric``."""
+    return _make_extractor(params, fvd_preprocess, batch, resolution)
 
 
 # ---------------------------------------------------------------------------
