@@ -273,6 +273,20 @@ class TestRemoteShards:
     def test_pipe_failure_warns(self):
         assert list(tar_samples("pipe:false")) == []
 
+    def test_pipe_early_close_is_clean(self, tmp_path):
+        """Abandoning a pipe: stream mid-shard (train_steps hit mid-epoch)
+        SIGPIPEs the still-writing child; that's a healthy early stop, not
+        an error (rc -13 direct / 141 via shell)."""
+        import warnings
+
+        shard = str(tmp_path / "big.tar")
+        _write_shard(shard, 64)
+        gen = tar_samples(f"pipe:cat {shard}")
+        next(gen)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # a spurious warn would raise
+            gen.close()  # GeneratorExit -> stream close while cat writes
+
     def test_train_from_http_urls(self, tmp_path):
         """End to end: the train CLI reads its shards over HTTP."""
         import io as _io
