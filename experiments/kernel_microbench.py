@@ -44,6 +44,13 @@ def main():
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--shape", default="16,1024,1536,16",
                     help="B,L,D,N (flagship 256^2 default)")
+    ap.add_argument("--gate", default="none",
+                    choices=["none", "jnp", "fused"],
+                    help="D-skip + silu(z) gating: outside the kernel "
+                         "(jnp, the default model path) or fused into the "
+                         "kernel epilogue (re-measure after grid changes: "
+                         "the fused variant lost 1.815 vs 1.572 ms when "
+                         "the BC stream was still triple-fetched)")
     args = ap.parse_args()
 
     from zigma_tpu.ops.scan_pallas import selective_scan_pallas
@@ -59,14 +66,23 @@ def main():
     Cv = jax.random.normal(ks[4], (B, L, N), dtype)
     bias = jnp.full((D,), 0.05, jnp.float32)
 
+    gate_kw = {}
+    if args.gate != "none":
+        ks2 = jax.random.split(jax.random.PRNGKey(1), 2)
+        gate_kw = {"D": jax.random.normal(ks2[0], (D,)),
+                   "z": jax.random.normal(ks2[1], (B, L, D), dtype),
+                   "fuse_gate": args.gate == "fused"}
+
+    def scan(u0):
+        return selective_scan_pallas(u0, delta, A, Bv, Cv,
+                                     delta_bias=bias, delta_softplus=True,
+                                     **gate_kw)
+
     def chain_fwd(k):
         @jax.jit
         def f(u0):
             def body(i, u):
-                y = selective_scan_pallas(u, delta, A, Bv, Cv,
-                                          delta_bias=bias,
-                                          delta_softplus=True)
-                return (0.1 * y + 1e-3).astype(u.dtype)
+                return (0.1 * scan(u) + 1e-3).astype(u.dtype)
             return jnp.float32(jnp.sum(jax.lax.fori_loop(0, k, body, u0)))
         return f
 
@@ -75,15 +91,13 @@ def main():
     t2 = timed(f2, u)
     t32 = timed(f32x, u)
     fwd_ms = (t32 - t2) / 30 * 1e3
-    out = {"shape": [B, L, D, N], "dtype": args.dtype,
+    out = {"shape": [B, L, D, N], "dtype": args.dtype, "gate": args.gate,
            "fwd_ms": round(fwd_ms, 4)}
 
     if not args.fwd_only:
         def chain_grad(k):
             def loss(u0):
-                y = selective_scan_pallas(u0, delta, A, Bv, Cv,
-                                          delta_bias=bias,
-                                          delta_softplus=True)
+                y = scan(u0)
                 return jnp.float32(jnp.sum(y * y) / y.size)
 
             @jax.jit
