@@ -68,3 +68,31 @@ def test_fp32_model_roundtrip_unchanged(model_and_params):
     out = cast_params_for_inference(params, jnp.float32)
     for (n0, l0), (n1, l1) in zip(_leaf_paths(params), _leaf_paths(out)):
         assert n0 == n1 and l0.dtype == l1.dtype
+
+
+@pytest.mark.parametrize("variant", ["text", "video", "class"])
+def test_forward_bitwise_identical_variants(variant):
+    """The keep-fp32 list must hold for every conditioning family: text
+    (cross-attn + y_embedder), video (temporal PE + factorized scans), and
+    class (label embedding table)."""
+    kw = dict(in_channels=4, embed_dim=96, depth=4, img_dim=8, patch_size=1,
+              scan_type="zigzagN8", use_pe=2, dtype=jnp.bfloat16)
+    y = None
+    if variant == "text":
+        kw.update(has_text=True, d_context=32, n_context_token=7)
+        y = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 32))
+    elif variant == "video":
+        kw.update(scan_type="zzvideo_sst", video_frames=2, tpe=True)
+    else:
+        kw.update(num_classes=5, class_dropout_prob=0.1)
+        y = jnp.array([1, 3])
+    model = ZigMa(**kw)
+    shape = (2, 2, 4, 8, 8) if variant == "video" else (2, 4, 8, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), shape)
+    t = jnp.full((2,), 0.3)
+    args = (x, t) if y is None else (x, t, y)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    cast = cast_params_for_inference(params)
+    y0 = model.apply(params, *args)
+    y1 = model.apply(cast, *args)
+    assert bool(jnp.all(y0 == y1)), variant
