@@ -293,3 +293,18 @@ class TestMultiDBlock:
         np.testing.assert_allclose(
             np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
             rtol=3e-2, atol=2e-1)
+
+
+def test_fwd_parity_deep_chunk_grid():
+    """32-chunk grid (L=4096): the inter-chunk carry must survive a deep
+    sequential grid (the 16k-token regime runs 128 chunks through exactly
+    this path; a carry-slot bug compounds with chunk count)."""
+    u, delta, A, B, C, Dskip = _make_inputs(jax.random.PRNGKey(9),
+                                            batch=1, L=4096, D=128)
+    bias = jnp.full((u.shape[-1],), 0.05, jnp.float32)
+    y_ref = selective_scan_ref(u, delta, A, B, C, Dskip, delta_bias=bias,
+                               delta_softplus=True)
+    y_pal = selective_scan_pallas(u, delta, A, B, C, Dskip, delta_bias=bias,
+                                  delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=2e-3, atol=6e-4)
