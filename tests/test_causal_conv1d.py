@@ -126,3 +126,24 @@ def test_add_norm_contract():
         np.asarray(out), np.asarray(rms_norm(x + r, w)), rtol=1e-6
     )
     assert res.dtype == jnp.float32
+
+
+def test_update_matches_full_bf16_bitwise():
+    """bf16 prefill and bf16 decode must be the SAME function: both compute
+    in x.dtype, so the rolling-state step reproduces the parallel conv
+    bit-for-bit (cache-consistency for bf16 decode)."""
+    rng = np.random.default_rng(4)
+    B, L, D, W = 2, 9, 5, 4
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((D, W)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    full = causal_conv1d(x, w, b, activation="silu")
+    state = jnp.zeros((B, W, D), jnp.bfloat16)
+    outs = []
+    for t in range(L):
+        y, state = causal_conv1d_update(x[:, t], state, w, b,
+                                        activation="silu")
+        outs.append(y)
+    got = jnp.stack(outs, axis=1)
+    assert got.dtype == full.dtype == jnp.bfloat16
+    assert bool(jnp.all(got == full))

@@ -87,15 +87,17 @@ def causal_conv1d_update(x, conv_state, weight, bias=None, activation="silu"):
     B, D = x.shape
     W = weight.shape[-1]
     new_state = jnp.concatenate([conv_state[:, 1:], x[:, None, :]], axis=1)
-    # compute in x.dtype, matching causal_conv1d: prefill and step must be
-    # the same function for cache-consistency (a bf16 prefill followed by
-    # fp32 steps would make decode diverge from the parallel scan)
+    # Same unrolled shifted-FMA form (and accumulation ORDER) as
+    # causal_conv1d: prefill and step must be the same function for
+    # cache-consistency.  An einsum here would accumulate through
+    # dot_general (fp32 accumulation for bf16 inputs) and diverge from the
+    # parallel conv's x.dtype adds by one rounding step per tap.
     cdtype = x.dtype
-    y = jnp.einsum(
-        "bwd,dw->bd",
-        new_state.astype(cdtype),
-        weight.astype(cdtype),
-    )
+    wf = weight.astype(cdtype)
+    st = new_state.astype(cdtype)
+    y = jnp.zeros_like(st[:, 0])
+    for k in range(W):
+        y = y + st[:, k, :] * wf[:, k]
     if bias is not None:
         y = y + bias.astype(cdtype)
     if activation in ("silu", "swish"):
