@@ -167,7 +167,7 @@ def odeint_dopri5(drift: Callable, x0, t0: float, t1: float, num_steps: int,
 
 
 def sdeint(drift: Callable, diffusion: Callable, rng, x0, t0: float, t1: float,
-           num_steps: int, method: str = "Euler"):
+           num_steps: int, method: str = "Euler", noise=None):
     """Integrate the reverse SDE over linspace(t0, t1, num_steps).
 
     Mirrors the reference loop (integrators.py:31-80): num_steps-1 steps;
@@ -177,20 +177,33 @@ def sdeint(drift: Callable, diffusion: Callable, rng, x0, t0: float, t1: float,
     matching the reference's __Mean_step__.
 
     drift(x, t_batch), diffusion(x, t_batch).
+
+    ``noise`` optionally injects the Brownian increments: a pytree matching
+    x0 with a leading axis of length num_steps-1 holding the standard-normal
+    draws w (NOT pre-scaled by sqrt(dt)) — one per step, exactly the
+    ``th.randn(x.size())`` sequence of the reference loop.  When given,
+    ``rng`` may be None; this makes trajectories reproducible across
+    frameworks (used by the executed-reference sampler parity tests).
     """
     ts = jnp.linspace(t0, t1, num_steps)
     dt = ts[1] - ts[0]
     sqrt_dt = jnp.sqrt(dt)
 
-    def em_step(carry, t):
-        x, rng_ = carry
-        rng_, k = jax.random.split(rng_)
-        tb = _b_t(t, x)
-        keys = jax.random.split(k, len(jax.tree.leaves(x)))
+    def draw(carry_rng, x, injected):
+        if injected is not None:
+            return carry_rng, injected
+        carry_rng, k = jax.random.split(carry_rng)
         flat, treedef = jax.tree.flatten(x)
-        noise = [jax.random.normal(kk, xi.shape, xi.dtype)
-                 for kk, xi in zip(keys, flat)]
-        w = jax.tree.unflatten(treedef, noise)
+        keys = jax.random.split(k, len(flat))
+        return carry_rng, jax.tree.unflatten(
+            treedef, [jax.random.normal(kk, xi.shape, xi.dtype)
+                      for kk, xi in zip(keys, flat)])
+
+    def em_step(carry, inp):
+        x, rng_ = carry
+        t, injected = inp
+        rng_, w = draw(rng_, x, injected)
+        tb = _b_t(t, x)
         d = drift(x, tb)
         g = diffusion(x, tb)
         mean_x = _tree_axpy(dt, d, x)
@@ -198,15 +211,11 @@ def sdeint(drift: Callable, diffusion: Callable, rng, x0, t0: float, t1: float,
             lambda m, gi, wi: m + jnp.sqrt(2 * gi) * wi * sqrt_dt, mean_x, g, w)
         return (x, rng_), x
 
-    def heun_step(carry, t):
+    def heun_step(carry, inp):
         x, rng_ = carry
-        rng_, k = jax.random.split(rng_)
+        t, injected = inp
+        rng_, w = draw(rng_, x, injected)
         tb = _b_t(t, x)
-        keys = jax.random.split(k, len(jax.tree.leaves(x)))
-        flat, treedef = jax.tree.flatten(x)
-        noise = [jax.random.normal(kk, xi.shape, xi.dtype)
-                 for kk, xi in zip(keys, flat)]
-        w = jax.tree.unflatten(treedef, noise)
         g = diffusion(x, tb)
         xhat = jax.tree.map(
             lambda xi, gi, wi: xi + jnp.sqrt(2 * gi) * wi * sqrt_dt, x, g, w)
@@ -218,5 +227,7 @@ def sdeint(drift: Callable, diffusion: Callable, rng, x0, t0: float, t1: float,
         return (x, rng_), x
 
     step = {"Euler": em_step, "Heun": heun_step}[method]
-    (_, _), traj = jax.lax.scan(step, (x0, rng), ts[:-1])
+    if rng is None:
+        rng = jax.random.PRNGKey(0)  # unused when noise is injected
+    (_, _), traj = jax.lax.scan(step, (x0, rng), (ts[:-1], noise))
     return traj

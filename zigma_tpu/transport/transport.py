@@ -259,10 +259,13 @@ class Sampler:
             t0 = 1e-3
         last_fn = self._last_step_fn(sde_drift, last_step, last_step_size)
 
-        def sample_fn(rng, z, model_fn, **model_kwargs):
+        def sample_fn(rng, z, model_fn, noise=None, **model_kwargs):
+            """noise: optional (num_steps-1, *z.shape) standard-normal draws
+            to use instead of rng — reproduces the reference loop's
+            ``th.randn`` sequence exactly (see integrators.sdeint)."""
             drift = lambda x, t: sde_drift(x, t, model_fn, **model_kwargs)
             traj = sdeint(drift, sde_diffusion, rng, z, t0, t1, num_steps,
-                          method=sampling_method)
+                          method=sampling_method, noise=noise)
             ts = jnp.full((z.shape[0],), t1, jnp.float32)
             x_last = last_fn(traj[-1], ts, model_fn, **model_kwargs)
             return jnp.concatenate([traj, x_last[None]], axis=0)
@@ -273,37 +276,65 @@ class Sampler:
 
     def sample_ode_likelihood(self, *, sampling_method="dopri5", num_steps=50,
                               atol=1e-6, rtol=1e-3):
-        """Returns fn(rng, x, model_fn, **kw) -> (logp (B,), z (B, ...)).
+        """Returns fn(rng, x, model_fn, probes=None, **kw)
+        -> (logp (B,), z (B, ...)).
 
         Hutchinson trace estimate with Rademacher probes via ``jax.vjp``
-        (the reference uses torch.autograd.grad with the same probe,
-        transport/transport.py:419-478)."""
+        (the reference uses torch.autograd.grad,
+        transport/transport.py:419-478).  Probe semantics follow the
+        reference: its ``_likelihood_drift`` draws a FRESH probe at every
+        drift evaluation.  On the fixed-grid euler path we do the same —
+        one probe per step, drawn upfront (or injected via ``probes``,
+        shape (num_steps-1, *x.shape) of ±1, which reproduces the
+        reference's ``th.randint`` sequence for the executed-reference
+        parity tests).  The adaptive dopri5 path keeps a single probe for
+        the whole trajectory: per-evaluation redraws inside an adaptive
+        solver make the estimate depend on the accept/reject history (both
+        choices are unbiased Hutchinson estimators)."""
         t0, t1 = self.transport.check_interval(
             self.transport.train_eps, self.transport.sample_eps,
             sde=False, eval=True, reverse=False, last_step_size=0.0)
 
-        def sample_fn(rng, x, model_fn, **model_kwargs):
-            eps = (jax.random.randint(rng, x.shape, 0, 2).astype(x.dtype) * 2 - 1)
+        def _drift_with_probe(state, t, eps, model_fn, model_kwargs):
+            xi, _ = state
+            t_rev = jnp.ones_like(t) * (1 - t)
+            f = lambda xx: self.drift(xx, t_rev, model_fn, **model_kwargs)
+            drift, vjp_fn = jax.vjp(f, xi)
+            (grad,) = vjp_fn(eps)
+            logp_grad = jnp.sum(
+                (grad * eps).reshape(xi.shape[0], -1), axis=-1)
+            return (-drift, logp_grad)
 
-            def likelihood_drift(state, t):
-                xi, _ = state
-                t_rev = jnp.ones_like(t) * (1 - t)
-                f = lambda xx: self.drift(xx, t_rev, model_fn, **model_kwargs)
-                drift, vjp_fn = jax.vjp(f, xi)
-                (grad,) = vjp_fn(eps)
-                logp_grad = jnp.sum(
-                    (grad * eps).reshape(xi.shape[0], -1), axis=-1)
-                return (-drift, logp_grad)
-
+        def sample_fn(rng, x, model_fn, probes=None, **model_kwargs):
             init_logp = jnp.zeros((x.shape[0],), x.dtype)
             if sampling_method == "dopri5":
-                traj = odeint_dopri5(likelihood_drift, (x, init_logp),
+                eps = (jax.random.randint(rng, x.shape, 0, 2)
+                       .astype(x.dtype) * 2 - 1)
+                drift = lambda st, t: _drift_with_probe(
+                    st, t, eps, model_fn, model_kwargs)
+                traj = odeint_dopri5(drift, (x, init_logp),
                                      t0, t1, num_steps, atol=atol, rtol=rtol)
+                z, delta_logp = traj[0][-1], traj[1][-1]
+            elif sampling_method.lower() == "euler":
+                if probes is None:
+                    probes = (jax.random.randint(
+                        rng, (num_steps - 1,) + x.shape, 0, 2)
+                        .astype(x.dtype) * 2 - 1)
+                ts = jnp.linspace(t0, t1, num_steps)
+                dts = ts[1:] - ts[:-1]
+
+                def step(state, inp):
+                    t, dt, eps = inp
+                    tb = jnp.full((x.shape[0],), t, jnp.float32)
+                    dx, dlogp = _drift_with_probe(
+                        state, tb, eps, model_fn, model_kwargs)
+                    state = (state[0] + dt * dx, state[1] + dt * dlogp)
+                    return state, None
+
+                (z, delta_logp), _ = jax.lax.scan(
+                    step, (x, init_logp), (ts[:-1], dts, probes))
             else:
-                traj = odeint_fixed(likelihood_drift, (x, init_logp),
-                                    t0, t1, num_steps,
-                                    method=sampling_method.lower())
-            z, delta_logp = traj[0][-1], traj[1][-1]
+                raise NotImplementedError(sampling_method)
             prior_logp = self.transport.prior_logp(z)
             return prior_logp - delta_logp, z
 
