@@ -115,9 +115,41 @@ def _load_reference_zigma():
             "dis_mamba.mamba_ssm.modules.mamba_simple")
         cc = importlib.import_module(
             "causal_conv1d.causal_conv1d_interface")
-        # route fast-path symbols at the reference's own golden refs
+        # Route ALL fast-path symbols at the reference's own golden refs so
+        # the reference can run with use_fast_path=True on CPU.  This
+        # matters: with use_fast_path=False the reference's slow path SKIPS
+        # the zigzag permutation entirely (mamba_simple.py:446-489 never
+        # permutes; only the fast-path branch at :355-395 does), so only
+        # use_fast_path=True reproduces the semantics its checkpoints were
+        # trained with (see test_reference_slow_path_drops_permutation).
         ms.causal_conv1d_fn = cc.causal_conv1d_ref
         ms.selective_scan_fn = ssi.selective_scan_ref
+        ssi.causal_conv1d_fn = cc.causal_conv1d_ref
+        ssi.selective_scan_fn = ssi.selective_scan_ref
+        ms.mamba_inner_fn = ssi.mamba_inner_ref
+        ms.bimamba_inner_fn = ssi.bimamba_inner_ref
+
+        def _mamba_inner_ref_no_out_proj(xz, conv1d_weight, conv1d_bias,
+                                         x_proj_weight, delta_proj_weight,
+                                         A, B=None, C=None, D=None,
+                                         delta_bias=None, B_proj_bias=None,
+                                         C_proj_bias=None,
+                                         delta_softplus=True):
+            """Pure-torch twin of MambaInnerFnNoOutProj (the reference ships
+            no _ref for it): mamba_inner_ref with an identity out-projection
+            (exact in fp32), transposed back to the (b, d, l) layout the v2
+            branch expects (mamba_simple.py:305-336)."""
+            import torch as _th
+            d_inner = conv1d_weight.shape[0]
+            eye = _th.eye(d_inner, dtype=xz.dtype, device=xz.device)
+            y = ssi.mamba_inner_ref(
+                xz, conv1d_weight, conv1d_bias, x_proj_weight,
+                delta_proj_weight, eye, None, A, B=B, C=C, D=D,
+                delta_bias=delta_bias, B_proj_bias=B_proj_bias,
+                C_proj_bias=C_proj_bias, delta_softplus=delta_softplus)
+            return y.transpose(1, 2)
+
+        ms.mamba_inner_fn_no_out_proj = _mamba_inner_ref_no_out_proj
         mod = importlib.import_module("model_zigma")
     except Exception:
         mod = None
@@ -139,9 +171,26 @@ VARIANTS = {
 }
 
 
-@pytest.mark.parametrize("variant", sorted(VARIANTS))
-@pytest.mark.parametrize("scan_layers", [False, True])
-def test_converted_forward_matches_reference(variant, scan_layers):
+def _perturb_all_params(ref, std=0.02, seed=99):
+    """Knock every torch param off its init.
+
+    DiT zero-init makes the init point DEGENERATE for parity testing: the
+    adaLN gate chunk is zero, so every mixer output is multiplied by 0 and
+    the model forward is INDEPENDENT of the whole Mamba path (model_zigma.py
+    :441-443 with gate=0, zero-init at :862-870).  A parity test at init
+    therefore never exercises the mixer integration (per-layer permutation
+    wiring, extras split, modulation).  Perturbing all params breaks the
+    degeneracy — found in round 3 when gradient parity exposed a latent
+    forward divergence the init-point tests had been hiding.
+    """
+    import torch
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p += std * torch.randn(p.shape, generator=g)
+
+
+def _build_and_compare(variant, scan_layers, perturb, rtol=1e-4, atol=1e-5):
     import torch
 
     from zigma_tpu.convert import convert_state_dict
@@ -155,17 +204,22 @@ def test_converted_forward_matches_reference(variant, scan_layers):
     num_classes = kw.pop("num_classes", -1)
     d_context = kw.pop("d_context", 0)
     n_ctx = kw.pop("n_context_token", 0)
-    if kw["scan_type"] == "v2" and scan_layers:
-        pytest.skip("v2 uses the per-layer layout only")
 
     torch.manual_seed(0)
+    # use_fast_path=True: the only reference path that applies the zigzag
+    # permutation (slow path drops it — see
+    # test_reference_slow_path_drops_permutation); the fast-path kernel
+    # symbols are routed at the reference's own pure-torch refs by
+    # _load_reference_zigma.
     ref = mz.ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
                    patch_size=2, use_pe=2, fused_add_norm=False,
-                   rms_norm=True, ssm_cfg={"use_fast_path": False},
+                   rms_norm=True, ssm_cfg={"use_fast_path": True},
                    drop_path_rate=0.0, device="cpu", dtype=torch.float32,
                    has_text=has_text, num_classes=num_classes,
                    d_context=d_context, n_context_token=n_ctx, **kw)
     ref.eval()
+    if perturb:
+        _perturb_all_params(ref)
 
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
@@ -191,7 +245,78 @@ def test_converted_forward_matches_reference(variant, scan_layers):
     out = mine.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x),
                      jnp.asarray(t), y_j)
     np.testing.assert_allclose(np.asarray(out), ref_out,
-                               rtol=1e-4, atol=1e-5)
+                               rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+@pytest.mark.parametrize("scan_layers", [False, True])
+def test_converted_forward_matches_reference(variant, scan_layers):
+    if VARIANTS[variant]["scan_type"] == "v2" and scan_layers:
+        pytest.skip("v2 uses the per-layer layout only")
+    _build_and_compare(variant, scan_layers, perturb=False)
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+@pytest.mark.parametrize("scan_layers", [False, True])
+def test_perturbed_forward_matches_reference(variant, scan_layers):
+    """Forward parity AWAY from the degenerate zero-init point: all params
+    perturbed, so the gate is nonzero and the mixer path (permutations,
+    extras, modulation) actually reaches the output.  This is the test that
+    the init-point parity could never perform (see _perturb_all_params)."""
+    if VARIANTS[variant]["scan_type"] == "v2" and scan_layers:
+        pytest.skip("v2 uses the per-layer layout only")
+    _build_and_compare(variant, scan_layers, perturb=True,
+                       rtol=1e-4, atol=2e-5)
+
+
+def test_reference_slow_path_drops_permutation():
+    """Documented reference quirk (round-3 discovery): with
+    use_fast_path=False the reference Mamba takes the generic slow path
+    (mamba_simple.py:446-489) which NEVER applies the zigzag permutation —
+    only the fast-path branch (:355-395) permutes.  So use_fast_path=False
+    silently computes a different (raster-order) model.  The trained
+    checkpoints use the fast path; our model always permutes, matching the
+    fast path.  This test pins the quirk: the same reference weights give
+    different outputs on the two paths, and ours matches the FAST one."""
+    import torch
+
+    from zigma_tpu.convert import convert_state_dict
+    from zigma_tpu.models import ZigMa
+    import jax
+    import jax.numpy as jnp
+
+    mz = _load_reference_zigma()
+    outs = {}
+    for fast in (True, False):
+        torch.manual_seed(0)
+        ref = mz.ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                       patch_size=2, use_pe=2, fused_add_norm=False,
+                       rms_norm=True, ssm_cfg={"use_fast_path": fast},
+                       drop_path_rate=0.0, device="cpu",
+                       dtype=torch.float32, scan_type="zigzagN2")
+        ref.eval()
+        _perturb_all_params(ref)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+        t = np.array([0.25, 0.75], np.float32)
+        with torch.no_grad():
+            outs[fast] = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+        if fast:
+            sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
+
+    # the two reference paths genuinely disagree (the quirk is real) ...
+    assert np.abs(outs[True] - outs[False]).max() > 1e-4
+    # ... and ours matches the fast (trained/deployed) one
+    mine = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
+                 patch_size=2, use_pe=2, rms_norm=True, scan_backend="ref",
+                 scan_type="zigzagN2")
+    params = jax.tree.map(jnp.asarray, convert_state_dict(sd))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    t = np.array([0.25, 0.75], np.float32)
+    out = mine.apply(params, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(out), outs[True],
+                               rtol=1e-4, atol=2e-5)
 
 
 def test_reference_video_config_is_broken_and_our_reading_matches_intent():

@@ -33,7 +33,8 @@ import types
 import numpy as np
 import pytest
 
-from test_reference_model_parity import _load_reference_zigma
+from test_reference_model_parity import (_load_reference_zigma,
+                                         _perturb_all_params)
 
 pytestmark = pytest.mark.skipif(_load_reference_zigma() is None,
                                 reason="reference model not importable")
@@ -144,12 +145,16 @@ def _build_pair():
 
     mz = _load_reference_zigma()
     torch.manual_seed(0)
+    # use_fast_path=True (the permuting, trained path) + perturbed weights:
+    # at DiT zero-init the adaLN gate is 0 and the sampler would never
+    # exercise the mixer (see test_reference_model_parity._perturb_all_params)
     ref = mz.ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
                    patch_size=2, use_pe=2, fused_add_norm=False,
-                   rms_norm=True, ssm_cfg={"use_fast_path": False},
+                   rms_norm=True, ssm_cfg={"use_fast_path": True},
                    drop_path_rate=0.0, device="cpu", dtype=torch.float32,
                    scan_type="zigzagN2")
     ref.eval()
+    _perturb_all_params(ref)
     sd = {k: v.detach().cpu() for k, v in ref.state_dict().items()}
     params = jax.tree.map(jnp.asarray, convert_state_dict(sd))
     mine = ZigMa(in_channels=4, embed_dim=64, depth=2, img_dim=8,
