@@ -227,7 +227,8 @@ def test_selective_scan_complex_matches_reference_golden(static_bc):
 
     from zigma_tpu.ops.selective_scan import selective_scan
 
-    for backend in ("ref", "assoc"):
+    backends = ("ref", "assoc") if static_bc else ("ref", "assoc", "chunked")
+    for backend in backends:
         out, last = selective_scan(
             np.transpose(u, (0, 2, 1)), np.transpose(delta, (0, 2, 1)),
             A, our_B, our_C, D=Dskip, delta_softplus=True,
@@ -240,7 +241,10 @@ def test_selective_scan_complex_matches_reference_golden(static_bc):
             rtol=3e-4, atol=3e-4, err_msg=f"backend={backend} last")
 
 
-def test_selective_scan_complex_rejects_fast_backends():
+def test_selective_scan_complex_rejects_pallas_only():
+    """Since round 3 the chunked custom-VJP supports complex64 (and auto
+    routes complex variable-B/C there); only the Pallas kernel stays
+    real-only and must refuse."""
     from zigma_tpu.ops.selective_scan import selective_scan
 
     rng = np.random.default_rng(0)
@@ -249,15 +253,16 @@ def test_selective_scan_complex_rejects_fast_backends():
     delta = np.abs(rng.standard_normal((B_, L, D))).astype(np.float32)
     A = (-np.abs(rng.standard_normal((D, N)))
          + 1j * rng.standard_normal((D, N))).astype(np.complex64)
-    Bv = rng.standard_normal((B_, L, N)).astype(np.float32)
-    Cv = rng.standard_normal((B_, L, N)).astype(np.float32)
-    with pytest.raises(ValueError, match="real-only"):
-        selective_scan(u, delta, A, Bv, Cv, backend="chunked")
+    Bv = rng.standard_normal((B_, L, N)).astype(np.complex64)
+    Cv = rng.standard_normal((B_, L, N)).astype(np.complex64)
     with pytest.raises(ValueError, match="real-only"):
         selective_scan(u, delta, A, Bv, Cv, backend="pallas")
+    out = selective_scan(u, delta, A, Bv, Cv, backend="chunked", chunk=8)
+    assert not np.iscomplexobj(np.asarray(out))
 
 
-def test_selective_scan_complex_gradients_match_reference_autograd():
+@pytest.mark.parametrize("backend", ["assoc", "chunked"])
+def test_selective_scan_complex_gradients_match_reference_autograd(backend):
     """Complex-mode VJP parity: torch autograd through the reference golden
     model (complex A + complex variable B/C) vs JAX autodiff through our
     assoc backend.  Convention: for a real loss, torch's ``.grad`` on a
@@ -310,7 +315,7 @@ def test_selective_scan_complex_gradients_match_reference_autograd():
 
     def f(u_, d_, A_, B_, C_):
         return selective_scan(u_, d_, A_, B_, C_, delta_softplus=True,
-                              backend="assoc")
+                              backend=backend, chunk=8)
 
     args = (jnp.asarray(np.transpose(u, (0, 2, 1))),
             jnp.asarray(np.transpose(delta, (0, 2, 1))),

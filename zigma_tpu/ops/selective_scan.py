@@ -34,13 +34,22 @@ reference kernel's fp32 state/weight discipline (selective_scan.cpp:282-293).
 Complex-valued ``A`` (the reference kernel's complex64 weight dispatch,
 selective_scan.cpp:14-51,328-332 — the S4D-complex mode; unused by every
 shipped ZigMa config), optionally with complex B/C, is supported on the
-``ref`` and ``assoc`` backends: the recurrence runs in complex64 and the
-real output doubles the real part, ``y = 2*Re(<C_t, x_t>)``, exactly as
-the reference golden model
+``ref``, ``assoc``, and (round 3) ``chunked`` backends: the recurrence runs
+in complex64 and the real output doubles the real part,
+``y = 2*Re(<C_t, x_t>)``, exactly as the reference golden model
 (selective_scan_interface.py:143-145).  Complex B/C are passed as complex
 (B, L, N) arrays (the JAX-native form of the reference's packed-real
-``(B, N, 2L)`` view_as_complex layout).  The chunked/pallas fast paths stay
-real-only — ``backend="auto"`` routes complex inputs to ``assoc``.
+``(B, N, 2L)`` view_as_complex layout).  ``backend="auto"`` routes complex
+variable-B/C inputs to the chunked custom-VJP (recompute-in-backward, no
+(B, L, D, N) HBM materialization — the memory class the reference's complex
+bwd kernels occupy, selective_scan_bwd_*_complex.cu); only the Pallas
+kernel stays real-only.
+
+Grouped variable B/C (``ngroups > 1``: (B, L, G, N) arrays, each group
+covering ``d_inner // G`` consecutive channels —
+selective_scan_interface.py:30-40) runs on ALL backends; the fast paths
+(chunked, pallas) vmap over the group axis (round 3), matching the CUDA
+kernel's grouped dispatch tested at groups {1, 2}.
 """
 
 from __future__ import annotations
@@ -305,15 +314,26 @@ def _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
 
     u_c, d_c, B_c, C_c = (reshape_c(t) for t in (uf, dlt, Bvf, Cvf))
 
+    cplx = _is_complex(A)
+
     def body(x, inp):
         uc, dc, bc, cc = inp  # (B, cl, D), (B, cl, D), (B, cl, N), (B, cl, N)
         la = dc[..., None] * A  # (B, cl, D, N)
         b = (dc * uc)[..., None] * bc[:, :, None, :]
+        if cplx:
+            la = la.astype(jnp.complex64)
+            b = b.astype(jnp.complex64)
         xs = _chunk_states(la, b, x)
-        y = jnp.einsum("bldn,bln->bld", xs, cc, preferred_element_type=jnp.float32)
+        if cplx:
+            # reference complex mode: y = 2 * Re(<C, x>)
+            y = 2.0 * jnp.einsum("bldn,bln->bld", xs, cc).real
+        else:
+            y = jnp.einsum("bldn,bln->bld", xs, cc,
+                           preferred_element_type=jnp.float32)
         return xs[:, -1], (y, x)
 
-    x0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+    x0 = jnp.zeros((batch, d_inner, N),
+                   jnp.complex64 if cplx else jnp.float32)
     x_final, (ys, carries) = jax.lax.scan(body, x0, (u_c, d_c, B_c, C_c))
     y = jnp.moveaxis(ys, 0, 1).reshape(batch, L_pad, d_inner)[:, :L]
 
@@ -363,7 +383,10 @@ def _chunked_bwd(cfg, res, g_out):
 
     dA0 = jnp.zeros_like(A)
     dD0 = jnp.zeros((d_inner,), jnp.float32)
-    gx0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+    gx0 = jnp.zeros((batch, d_inner, N),
+                    jnp.complex64 if _is_complex(A) else jnp.float32)
+
+    cplx = _is_complex(A)
 
     def body(carry, inp):
         gx, dA_acc, dD_acc = carry
@@ -376,8 +399,15 @@ def _chunked_bwd(cfg, res, g_out):
         # as the reference kernel, selective_scan_bwd_kernel.cuh)
         la = dc[..., None] * A
         b = (dc * uc)[..., None] * bc[:, :, None, :]
+        if cplx:
+            la = la.astype(jnp.complex64)
+            b = b.astype(jnp.complex64)
         xs = _chunk_states(la, b, x0c)
-        y = jnp.einsum("bldn,bln->bld", xs, cc, preferred_element_type=jnp.float32)
+        if cplx:
+            y = 2.0 * jnp.einsum("bldn,bln->bld", xs, cc).real
+        else:
+            y = jnp.einsum("bldn,bln->bld", xs, cc,
+                           preferred_element_type=jnp.float32)
 
         if has_z:
             out_pre = y + uc * _f32(Dp) if has_D else y
@@ -394,21 +424,34 @@ def _chunked_bwd(cfg, res, g_out):
             du_c = jnp.zeros_like(uc)
 
         dy = gyD  # (B, cl, D)
-        dC_c = jnp.einsum("bld,bldn->bln", dy, xs)
-        dx_local = dy[..., None] * cc[:, :, None, :]  # (B, cl, D, N)
-
+        # Complex cotangents follow the JAX convention for real-valued
+        # losses, g_w = dL/dRe(w) - i*dL/dIm(w) — under which the chain
+        # rule through HOLOMORPHIC factors is conjugate-free (g_w = k*g_o
+        # for o = k*w; verified empirically: jax.grad of 2*Re(k*w) is 2k).
+        # So the complex adjoint is the real code with (a) the factor 2
+        # and no conj on the y = 2*Re(x*C) taps, and (b) Re(k*g) when a
+        # complex product lands on a REAL leaf (delta, u).  Validated
+        # against autodiff-through-ref and torch autograd
+        # (tests/test_selective_scan.py, test_reference_scan_parity.py).
+        if cplx:
+            dC_c = 2.0 * jnp.einsum("bld,bldn->bln", dy, xs)
+            dx_local = 2.0 * dy[..., None] * cc[:, :, None, :]
+        else:
+            dC_c = jnp.einsum("bld,bldn->bln", dy, xs)
+            dx_local = dy[..., None] * cc[:, :, None, :]  # (B, cl, D, N)
         gs = _chunk_adjoint(la, dx_local, gx)  # (B, cl, D, N)
-
         # db = gs; dla = gs * a * x_{t-1} = gs * (xs - b)
         dla = gs * (xs - b)
         gB = jnp.einsum("bldn,bln->bld", gs, bc)  # sum_n gs * B
-        dd_c = jnp.einsum("bldn,dn->bld", dla, A) + gB * uc
-        du_c = du_c + dc * gB
+        dd_A = jnp.einsum("bldn,dn->bld", dla, A)
+        if cplx:
+            gB, dd_A = gB.real, dd_A.real
+        dd_c = dd_A + gB * uc
         dB_c = jnp.einsum("bldn,bld->bln", gs, dc * uc)
         dA_acc = dA_acc + jnp.einsum("bldn,bld->dn", dla, dc)
-
         # carry to the previous chunk: a_{t0} * g_{t0}
         gx_prev = jnp.exp(la[:, 0]) * gs[:, 0]
+        du_c = du_c + dc * gB
         outs = (du_c, dd_c, dB_c, dC_c, dz_c) if has_z else (du_c, dd_c, dB_c, dC_c)
         return (gx_prev, dA_acc, dD_acc), outs
 
@@ -444,11 +487,68 @@ def _chunked_bwd(cfg, res, g_out):
 _chunked_core.defvjp(_chunked_fwd, _chunked_bwd)
 
 
+def _grouped_fast_call(fn, u, delta, A, B, C, D, z, delta_bias,
+                       return_last_state):
+    """Run a (B, L, N)-variable-B/C fast backend with GROUPED (B, L, G, N)
+    B/C by vmapping it over the group axis.
+
+    Group g covers the ``d_inner // G`` consecutive channels
+    ``[g*H, (g+1)*H)`` — the reference's
+    ``repeat(B, "B G N L -> B (G H) N L")`` semantics
+    (selective_scan_interface.py:30-40; CUDA tests at groups {1, 2},
+    dis_mamba/tests/ops/test_selective_scan.py:32).  Each per-group slice
+    is an independent scan, so the mapped call is exact, and vmap turns it
+    into one batched kernel (an extra grid dimension on the Pallas path).
+    """
+    batch, L, d_inner = u.shape
+    G = B.shape[2]
+    if d_inner % G != 0:
+        raise ValueError(f"d_inner {d_inner} not divisible by {G} B/C groups")
+    H = d_inner // G
+
+    def split_d(t):  # (..., D) -> (G, ..., H) consecutive blocks
+        if t is None:
+            return None
+        t = t.reshape(*t.shape[:-1], G, H)
+        return jnp.moveaxis(t, -2, 0)
+
+    ug, dg, zg = split_d(u), split_d(delta), split_d(z)
+    Ag = A.reshape(G, H, A.shape[1])
+    Dg = split_d(D) if D is not None else None
+    dbg = split_d(delta_bias) if delta_bias is not None else None
+    Bg = jnp.moveaxis(B, 2, 0)  # (G, batch, L, N)
+    Cg = jnp.moveaxis(C, 2, 0)
+
+    axes = (0, 0, 0, 0, 0,
+            0 if D is not None else None,
+            0 if z is not None else None,
+            0 if delta_bias is not None else None)
+    res = jax.vmap(fn, in_axes=axes)(ug, dg, Ag, Bg, Cg, Dg, zg, dbg)
+    out, last = res if return_last_state else (res, None)
+    # (G, batch, L, H) -> (batch, L, G, H) -> consecutive channel blocks
+    out = jnp.moveaxis(out, 0, 2).reshape(batch, L, d_inner)
+    if return_last_state:
+        # (G, batch, H, N) -> (batch, G*H, N)
+        last = jnp.moveaxis(last, 0, 1).reshape(batch, d_inner, last.shape[-1])
+        return out, last
+    return out
+
+
 def _selective_scan_chunked(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
                             return_last_state, chunk):
     batch, L, d_inner = u.shape
+    if B.ndim == 4 and C.ndim == 4:
+        if B.shape[2] == 1 and C.shape[2] == 1:
+            B, C = B[:, :, 0], C[:, :, 0]
+        else:
+            fn = lambda *a: _selective_scan_chunked(
+                *a, delta_softplus=delta_softplus,
+                return_last_state=return_last_state, chunk=chunk)
+            return _grouped_fast_call(fn, u, delta, A, B, C, D, z,
+                                      delta_bias, return_last_state)
     if B.ndim != 3 or C.ndim != 3:
-        raise ValueError("chunked backend requires variable B/C of shape (B, L, N)")
+        raise ValueError("chunked backend requires variable B/C of shape "
+                         "(B, L, N) or grouped (B, L, G, N)")
     cfg = (chunk, bool(delta_softplus), D is not None, z is not None,
            delta_bias is not None)
     Dp = D if D is not None else jnp.zeros((d_inner,), jnp.float32)
@@ -500,27 +600,31 @@ def selective_scan(
         # silently double the output
         raise ValueError("complex B/C require complex A (the reference's "
                          "S4D-complex mode dispatches on A's dtype)")
+    variable_bc = B.ndim in (3, 4) and C.ndim in (3, 4)
     if backend == "auto" and cplx:
         # complex64 weights (the reference kernel's S4D-complex dispatch):
-        # recurrence in complex, real output doubled — jnp backends only
-        backend = "assoc"
-    if cplx and backend in ("chunked", "pallas"):
+        # the chunked custom-VJP runs the recurrence in complex64 with
+        # recompute-in-backward (round 3) — same memory class as the real
+        # path, unlike assoc which materializes (B, L, D, N) complex and
+        # autodiffs through it (kept for static-B/C / debugging)
+        backend = "chunked" if variable_bc else "assoc"
+    if cplx and backend == "pallas":
         raise ValueError(
-            f"backend={backend!r} is real-only; complex A runs on "
-            f"'assoc' or 'ref' (auto picks assoc)")
+            "backend='pallas' is real-only; complex A runs on 'chunked' "
+            "(custom VJP), 'assoc', or 'ref' (auto picks chunked)")
     if backend == "auto":
         from zigma_tpu.ops.scan_pallas import (
             pallas_seq_aligned, pallas_shape_supported)
 
-        variable_bc = B.ndim == 3 and C.ndim == 3
+        G = B.shape[2] if B.ndim == 4 else 1
         # the pallas backend auto-pads unaligned L, except when the final
         # state is requested (padding would evolve it past position L-1);
         # shapes whose VMEM scratch can't be blocked (very large d_state)
         # degrade to the chunked jnp path instead of a Mosaic failure
         pallas_ok = (
             (pallas_seq_aligned(u.shape[1]) or not return_last_state)
-            and pallas_shape_supported(u.shape[1], u.shape[2], A.shape[1],
-                                       u.dtype))
+            and pallas_shape_supported(u.shape[1], u.shape[2] // G,
+                                       A.shape[1], u.dtype))
         if (variable_bc and pallas_ok
                 and jax.default_backend() == "tpu"):
             backend = "pallas"
@@ -538,6 +642,14 @@ def selective_scan(
     if backend == "pallas":
         from zigma_tpu.ops.scan_pallas import selective_scan_pallas
 
+        if B.ndim == 4 and C.ndim == 4 and B.shape[2] > 1:
+            fn = lambda *a: selective_scan_pallas(
+                *a, delta_softplus=delta_softplus,
+                return_last_state=return_last_state)
+            return _grouped_fast_call(fn, u, delta, A, B, C, D, z,
+                                      delta_bias, return_last_state)
+        if B.ndim == 4:
+            B, C = B[:, :, 0], C[:, :, 0]
         return selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias,
                                      delta_softplus, return_last_state)
     raise ValueError(f"unknown backend {backend!r}")
