@@ -147,3 +147,88 @@ def test_update_matches_full_bf16_bitwise():
     got = jnp.stack(outs, axis=1)
     assert got.dtype == full.dtype == jnp.bfloat16
     assert bool(jnp.all(got == full))
+
+
+def test_fp32_tap_accumulation_flag_is_exact():
+    """accum_dtype=float32 on bf16 inputs must be bitwise the fp32 conv
+    truncated once at the end — the reference CUDA kernel's accumulation
+    discipline (causal_conv1d_fwd.cu)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zigma_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+
+    got = causal_conv1d(x, w, b, activation="silu", accum_dtype=jnp.float32)
+    want = causal_conv1d(x.astype(jnp.float32), w, b,
+                         activation="silu").astype(jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+    # decode step under the same flag stays bitwise-consistent with the
+    # parallel conv (the prefill/decode cache contract)
+    state = jnp.zeros((2, 4, 8), jnp.bfloat16)
+    outs = []
+    for t in range(x.shape[1]):
+        y, state = causal_conv1d_update(x[:, t], state, w, b,
+                                        accum_dtype=jnp.float32)
+        outs.append(y)
+    step_out = jnp.stack(outs, axis=1)
+    np.testing.assert_array_equal(np.asarray(step_out, np.float32),
+                                  np.asarray(got, np.float32))
+
+
+def test_bf16_tap_divergence_quantified_flagship_width():
+    """Measure the end-to-end divergence of the x.dtype (bf16) conv-tap
+    accumulation vs the reference's fp32 taps through a flagship-width
+    bf16 ZigMa (embed 768, d_inner 1536, 24 layers via scan-over-layers).
+    The fp32-forward parity tests never see this (they run fp32, where
+    both modes coincide); the measured numbers live in docs/DESIGN.md
+    ("bf16 conv accumulation").  The assertion pins the finding: the tap
+    choice moves the output by LESS than bf16 itself does (it is inside
+    the bf16 noise floor, so it cannot dominate the 1%-FID budget)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zigma_tpu.models import ZigMa
+
+    kw = dict(in_channels=4, embed_dim=768, depth=24, img_dim=32,
+              patch_size=2, scan_type="zigzagN8", use_pe=2,
+              scan_layers=True, scan_backend="chunked")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 32, 32)), jnp.float32)
+    t = jnp.asarray([0.4], jnp.float32)
+
+    m_fast = ZigMa(dtype=jnp.bfloat16, **kw)
+    params = m_fast.init(jax.random.PRNGKey(0), x, t)
+    # perturb off the DiT zero-init: at init the adaLN gate is 0 and the
+    # mixer path (where the conv lives) never reaches the output — the same
+    # degeneracy that hid the slow-path permutation drop
+    # (test_reference_model_parity._perturb_all_params)
+    noise_rng = np.random.default_rng(1)
+    params = jax.tree.map(
+        lambda p: p + jnp.asarray(
+            0.02 * noise_rng.standard_normal(p.shape), p.dtype), params)
+    out_fast = np.asarray(m_fast.apply(params, x, t), np.float32)
+    m_ref_taps = ZigMa(dtype=jnp.bfloat16, ssm_cfg={"conv_fp32_taps": True},
+                       **kw)
+    out_reftap = np.asarray(m_ref_taps.apply(params, x, t), np.float32)
+    m_f32 = ZigMa(dtype=jnp.float32, **kw)
+    out_f32 = np.asarray(m_f32.apply(params, x, t), np.float32)
+
+    scale = np.abs(out_f32).mean()
+    tap_div = np.abs(out_fast - out_reftap).mean() / scale
+    bf16_err_fast = np.abs(out_fast - out_f32).mean() / scale
+    bf16_err_reftap = np.abs(out_reftap - out_f32).mean() / scale
+    print(f"bf16 conv-tap divergence: tap={tap_div:.2e} "
+          f"bf16_fast={bf16_err_fast:.2e} bf16_fp32taps={bf16_err_reftap:.2e}")
+    # the tap choice is inside the bf16 noise floor ...
+    assert tap_div <= 1.5 * bf16_err_reftap
+    # ... and does not worsen the distance to the fp32 truth materially
+    assert bf16_err_fast <= 1.5 * bf16_err_reftap

@@ -143,6 +143,15 @@ class _ScanBranch(nn.Module):
     dtype: Any
     scan_backend: str
     scan_chunk: int
+    # force the reference CUDA kernel's fp32 conv-tap accumulation for
+    # bf16 activations (ops/causal_conv1d.py); default keeps the measured
+    # x.dtype fast path — end-to-end divergence quantified in
+    # docs/DESIGN.md and tests/test_causal_conv1d.py
+    conv_fp32_taps: bool = False
+
+    @property
+    def _conv_accum(self):
+        return jnp.float32 if self.conv_fp32_taps else None
 
     def setup(self):
         self.conv_weight = self.param(
@@ -178,7 +187,8 @@ class _ScanBranch(nn.Module):
 
     def __call__(self, x_in, z):
         """x_in, z: (B, L, d_inner) -> gated scan output (B, L, d_inner)."""
-        x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b, activation="silu")
+        x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b,
+                            activation="silu", accum_dtype=self._conv_accum)
         delta, Bv, Cv, A = self._features(x_c)
         y = selective_scan(
             x_c, delta, A, Bv, Cv, self.D, z=z,
@@ -193,7 +203,8 @@ class _ScanBranch(nn.Module):
         """Single-token decode (mamba_simple.py:492-552)."""
         conv_state, ssm_state = cache
         x_c, conv_state = causal_conv1d_update(
-            x, conv_state, self.conv_weight, self.conv_b)
+            x, conv_state, self.conv_weight, self.conv_b,
+            accum_dtype=self._conv_accum)
         delta, Bv, Cv, A = self._features(x_c)
         y, ssm_state = selective_state_update(
             ssm_state, x_c, delta, A, Bv, Cv, self.D, z=z,
@@ -209,7 +220,8 @@ class _ScanBranch(nn.Module):
         """
         B_ = x_in.shape[0]
         x_c = causal_conv1d(x_in, self.conv_weight, self.conv_b,
-                            activation="silu")
+                            activation="silu",
+                            accum_dtype=self._conv_accum)
         delta, Bv, Cv, A = self._features(x_c)
         y, ssm_state = selective_scan(
             x_c, delta, A, Bv, Cv, self.D, z=z,
@@ -252,6 +264,7 @@ class Mamba(nn.Module):
     dtype: Any = jnp.float32
     scan_backend: str = "auto"
     scan_chunk: int = 128
+    conv_fp32_taps: bool = False  # fp32 conv-tap accumulation (see _ScanBranch)
     out_proj_kernel_init: Optional[Any] = None  # GPT-2 residual rescale hook
 
     @property
@@ -269,7 +282,7 @@ class Mamba(nn.Module):
             dt_init=self.dt_init, dt_scale=self.dt_scale,
             dt_init_floor=self.dt_init_floor, conv_bias=self.conv_bias,
             dtype=self.dtype, scan_backend=self.scan_backend,
-            scan_chunk=self.scan_chunk)
+            scan_chunk=self.scan_chunk, conv_fp32_taps=self.conv_fp32_taps)
         self.in_proj = nn.Dense(2 * self.d_inner, use_bias=self.bias,
                                 dtype=self.dtype, kernel_init=torch_linear_init(),
                                 name="in_proj")

@@ -28,6 +28,7 @@ def causal_conv1d(
     bias: Optional[jax.Array] = None,
     activation: Optional[str] = "silu",
     initial_state: Optional[jax.Array] = None,
+    accum_dtype: Optional[jax.typing.DTypeLike] = None,
 ):
     """Depthwise causal conv.
 
@@ -40,20 +41,27 @@ def causal_conv1d(
       activation: None | "silu"/"swish".
       initial_state: optional (batch, W-1, D) left context (for chunked
         prefill); defaults to zeros (causal left-padding).
+      accum_dtype: tap accumulation dtype; None (default) computes in
+        x.dtype, ``jnp.float32`` reproduces the reference CUDA kernel's
+        fp32 accumulation for bf16 inputs (see comment below).
     Returns (batch, L, D) in x.dtype.
     """
     if activation not in (None, "silu", "swish"):
         raise ValueError(f"unsupported activation {activation!r}")
     B, L, D = x.shape
     W = weight.shape[-1]
-    # Compute in x.dtype.  The reference CUDA kernel accumulates in fp32
-    # (causal_conv1d_fwd.cu), but here the consumer (the bf16 scan kernel /
-    # x_proj GEMM) truncates straight back to bf16, so fp32 taps only buy
-    # one rounding step — while costing ~200 MiB/layer of materialized fp32
-    # intermediates on the flagship (measured 0.20 -> 0.08 ms/layer).  In
-    # fp32 mode (parity tests, fp32 models) this IS full fp32 compute.
-    cdtype = x.dtype
-    xf = x
+    # Default: compute in x.dtype.  The reference CUDA kernel accumulates in
+    # fp32 (causal_conv1d_fwd.cu), but here the consumer (the bf16 scan
+    # kernel / x_proj GEMM) truncates straight back to bf16, so fp32 taps
+    # only buy one rounding step — while costing ~200 MiB/layer of
+    # materialized fp32 intermediates on the flagship (measured
+    # 0.20 -> 0.08 ms/layer).  In fp32 mode (parity tests, fp32 models) this
+    # IS full fp32 compute.  The measured end-to-end bf16 divergence of the
+    # x.dtype choice is recorded in docs/DESIGN.md §"bf16 conv accumulation";
+    # pass accum_dtype=jnp.float32 (Mamba: conv_fp32_taps=True) to force the
+    # reference behavior.
+    cdtype = x.dtype if accum_dtype is None else jnp.dtype(accum_dtype)
+    xf = x.astype(cdtype)
     wf = weight.astype(cdtype)
     if initial_state is None:
         pad = jnp.zeros((B, W - 1, D), cdtype)
@@ -75,11 +83,13 @@ def causal_conv1d(
 causal_conv1d_ref = causal_conv1d
 
 
-def causal_conv1d_update(x, conv_state, weight, bias=None, activation="silu"):
+def causal_conv1d_update(x, conv_state, weight, bias=None, activation="silu",
+                         accum_dtype=None):
     """Single-token decode step with a rolling conv state.
 
     Functional equivalent of ``causal_conv1d_update.cu:26-95`` — the state is
-    returned, not mutated in place.
+    returned, not mutated in place.  ``accum_dtype`` must match the parallel
+    conv's setting for bitwise prefill/decode consistency.
 
     x: (batch, D) new token; conv_state: (batch, W, D) rolling window whose
     last slot is the most recent token.  Returns (y, new_state).
@@ -92,7 +102,7 @@ def causal_conv1d_update(x, conv_state, weight, bias=None, activation="silu"):
     # cache-consistency.  An einsum here would accumulate through
     # dot_general (fp32 accumulation for bf16 inputs) and diverge from the
     # parallel conv's x.dtype adds by one rounding step per tap.
-    cdtype = x.dtype
+    cdtype = x.dtype if accum_dtype is None else jnp.dtype(accum_dtype)
     wf = weight.astype(cdtype)
     st = new_state.astype(cdtype)
     y = jnp.zeros_like(st[:, 0])

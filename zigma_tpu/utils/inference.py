@@ -21,12 +21,18 @@ mamba_simple.py parameter dtypes):
   * norm scales/biases — ``add_norm`` upcasts to fp32; keeping the param
     fp32 preserves the residual_in_fp32 contract bit-for-bit
   * positional embeddings — added onto the (possibly fp32) stream
-  * embedder tables (timestep/label/patch) — feed the fp32 conditioning
-    path; they are tiny, so the per-call convert is already free
+  * embedder subtrees (timestep/label/patch/text) — feed the fp32
+    conditioning path; they are tiny, so the per-call convert is free
 
 This is a pure hoist for every cast leaf: the forward computes the exact
 same bf16 values with pre-cast params as with fp32 params (the in-graph
 ``convert`` produced the same bf16 numbers every call).
+
+The classifier is an EXHAUSTIVE rule table, not a substring match: every
+fp32 leaf must land on a known-keep or known-cast rule, and an
+unrecognized name raises instead of being silently cast (a silently
+mis-cast fp32-contract leaf would break the bitwise tests only for the
+variant that owns it — fail closed instead).
 """
 
 from __future__ import annotations
@@ -36,34 +42,61 @@ import jax.numpy as jnp
 
 __all__ = ["cast_params_for_inference"]
 
-# path fragments whose leaves are consumed in fp32 (see module docstring)
-_KEEP_FP32 = ("A_log", "dt_proj_bias", "norm", "pos_embed",
-              "temporal_pos_embedding", "embed")
+# Modules whose whole subtree feeds the fp32 conditioning path.
+_KEEP_MODULES = frozenset({"t_embedder", "y_embedder", "x_embedder"})
+
+# fp32-contract leaves by exact name.
+_KEEP_LEAF = frozenset({"A_log", "D", "dt_proj_bias",
+                        "temporal_pos_embedding", "embedding"})
+
+# fp32-contract leaves by prefix: pos_embed / pos_embed_<i> (use_pe=3
+# allocates one per layer) and every norm scale/bias
+# (norm_weight, norm_bias, norm_f_weight, norm_f_bias, norm_msa_*).
+_KEEP_LEAF_PREFIX = ("pos_embed", "norm")
+
+# compute-dtype scan-branch leaves by exact name.
+_CAST_LEAF = frozenset({"conv1d_weight", "conv1d_bias",
+                        "x_proj_kernel", "dt_proj_kernel"})
+
+# generic Dense/conv leaves; every remaining module that owns these
+# (adaLN, mixer in/out_proj, msa to_q/k/v/out, final_layer.linear)
+# consumes them in the compute dtype.
+_CAST_GENERIC = frozenset({"kernel", "bias"})
 
 
-def _keep_fp32(path_names, leaf_name):
-    if leaf_name == "D":
-        return True
-    joined = "/".join(path_names)
-    return any(frag in joined for frag in _KEEP_FP32)
+def _classify(path_names, leaf_name):
+    """-> "keep" | "cast"; raises on an unrecognized fp32 leaf."""
+    if any(n in _KEEP_MODULES for n in path_names):
+        return "keep"
+    if (leaf_name in _KEEP_LEAF
+            or any(leaf_name.startswith(p) for p in _KEEP_LEAF_PREFIX)):
+        return "keep"
+    if leaf_name in _CAST_LEAF or leaf_name in _CAST_GENERIC:
+        return "cast"
+    raise ValueError(
+        f"cast_params_for_inference: unrecognized fp32 param leaf "
+        f"{'/'.join(path_names)!r} — add it to the keep/cast rule table "
+        f"in zigma_tpu/utils/inference.py (failing closed instead of "
+        f"guessing its dtype contract)")
 
 
 def cast_params_for_inference(params, dtype=jnp.bfloat16):
     """Pre-cast float32 weight leaves to ``dtype`` for inference.
 
     Leaves the scan path consumes in fp32 (A_log, D, dt_bias, norms,
-    positional embeddings, embedder tables) are left untouched, so the
+    positional embeddings, embedder subtrees) are left untouched, so the
     result computes bit-identical outputs to the original tree for any
     model whose compute dtype is ``dtype``.  Non-float leaves and
-    non-fp32 floats pass through unchanged.
+    non-fp32 floats pass through unchanged.  Raises on an fp32 leaf the
+    rule table does not know (see module docstring).
     """
 
     def cast(path, leaf):
+        if not (hasattr(leaf, "dtype") and leaf.dtype == jnp.float32):
+            return leaf
         names = [getattr(k, "key", getattr(k, "name", str(k)))
                  for k in path]
-        if (hasattr(leaf, "dtype") and leaf.dtype == jnp.float32
-                and not _keep_fp32(names, names[-1] if names else "")):
-            return leaf.astype(dtype)
-        return leaf
+        verdict = _classify(names, names[-1] if names else "")
+        return leaf.astype(dtype) if verdict == "cast" else leaf
 
     return jax.tree_util.tree_map_with_path(cast, params)
