@@ -73,12 +73,86 @@ def main():
     # regardless of how many devices the host exposes
     imgs_per_sec_per_chip = batch * n_iters / elapsed
     baseline = 4.0  # BASELINE.json north-star target (img/s/chip, v5e)
+
+    # model-FLOPs throughput + MFU so perf is interpretable across rounds
+    # (VERDICT r2 weak-6): analytic FLOPs per forward (the reference's
+    # fvcore rule incl. 9*B*L*D*N for the scan, model_zigma.py:1140-1170)
+    # x 50 forwards per image batch / measured wall time.
+    from zigma_tpu.models.zigma import zigma_flops
+    fwd_flops = zigma_flops(batch=batch, seq=1024, embed_dim=768, depth=24)
+    tflops_per_sec = fwd_flops * num_steps * n_iters / elapsed / 1e12
+    peak = 197.0  # v5e bf16 peak TFLOP/s
     print(json.dumps({
         "metric": "images/sec/chip, 50-step ODE, 256^2 latents, zigzag8_b1",
         "value": round(imgs_per_sec_per_chip, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / baseline, 4),
+        "model_tflops_per_sec": round(tflops_per_sec, 2),
+        "mfu_vs_v5e_bf16_peak": round(tflops_per_sec / peak, 4),
     }))
+
+
+def envelope():
+    """Long-sequence + video sampling rows (VERDICT r2 #10): driver-capturable
+    round-over-round perf on the configs where the remaining risk lives,
+    instead of README-asserted numbers.  Opt-in (``python bench.py envelope``)
+    so the default single-line contract for the driver is unchanged.
+
+    ``vs_baseline`` here is vs the ROUND-2 measured value of the same row
+    (README table) — the reference publishes no numbers for these configs,
+    so the baseline tracks our own prior round (>1 = improved).
+    """
+    from zigma_tpu.models import ZigMa
+    from zigma_tpu.transport import Sampler, create_transport
+    from zigma_tpu.utils.inference import cast_params_for_inference
+
+    transport = create_transport("Linear", "velocity")
+    sampler = Sampler(transport)
+    sample_fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
+
+    rows = [
+        # (tag, model kwargs, latent shape, batch, r2 baseline, unit)
+        ("1024^2 cfg (4096 tok, patch2)",
+         dict(img_dim=128, patch_size=2), (4, 128, 128), 2, 0.88, "img/s"),
+        ("1024^2 patch1 (16384 tok)",
+         dict(img_dim=128, patch_size=1), (4, 128, 128), 1, 0.24, "img/s"),
+        ("video 16x256^2 (zzvideo_sst)",
+         dict(img_dim=32, patch_size=1, scan_type="zzvideo_sst",
+              video_frames=16), (16, 4, 32, 32), 1, 0.90, "videos/s"),
+    ]
+    ok = True
+    for tag, kw, shape, batch, base, unit in rows:
+        kw = dict(in_channels=4, embed_dim=768, depth=24,
+                  scan_type="zigzagN8", use_pe=2, dtype=jnp.bfloat16, **kw)
+        model = ZigMa(**kw)
+        x0 = jnp.zeros((batch,) + shape, jnp.float32)
+        t0 = jnp.zeros((batch,), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x0, t0)
+        params = cast_params_for_inference(params, jnp.bfloat16)
+
+        @jax.jit
+        def generate_sum(params, i, model=model, shape=shape, batch=batch):
+            z = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(1), i),
+                (batch,) + shape)
+            model_fn = lambda x, t: model.apply(params, x, t)
+            return jnp.float32(jnp.sum(sample_fn(z, model_fn)[-1]))
+
+        s = float(generate_sum(params, 0))  # warmup/compile
+        ok &= bool(jnp.isfinite(s))
+        n_iters = 2
+        start = time.perf_counter()
+        for i in range(1, n_iters + 1):
+            s = float(generate_sum(params, i))
+        per_sec = batch * n_iters / (time.perf_counter() - start)
+        print(json.dumps({
+            "metric": f"50-step ODE sampling, {tag}",
+            "value": round(per_sec, 4),
+            "unit": unit,
+            "vs_baseline": round(per_sec / base, 4),
+            "baseline_is": "round-2 measured value (no reference number)",
+        }))
+    return ok
 
 
 def _scan_truth_f64(u, delta, A, Bv, Cv, Dskip, z, bias):
@@ -239,4 +313,6 @@ def kernel_check():
 if __name__ == "__main__":
     if "kernel" in sys.argv[1:]:
         sys.exit(0 if kernel_check() else 1)
+    if "envelope" in sys.argv[1:]:
+        sys.exit(0 if envelope() else 1)
     main()
