@@ -46,7 +46,7 @@ def save(key, value):
 
 
 def sweep_group():
-    from zigma_tpu.ops.scan_pallas import selective_scan_pallas
+    from zigma_tpu.ops.scan_pallas import scan_core_fwd_pallas
 
     B, L, D, N = 16, 1024, 1536, 16
     ks = jax.random.split(jax.random.PRNGKey(0), 7)
@@ -63,13 +63,13 @@ def sweep_group():
     res = {}
     CHAIN = 24  # amortize the ~40 ms relay RTT over a layer-stack's worth
     for group in (2, 4, 8):
-        kern = functools.partial(selective_scan_pallas, delta_softplus=True,
+        kern = functools.partial(scan_core_fwd_pallas, softplus=True,
                                  group=group)
 
         @jax.jit
         def chain(u0):
             def body(uc, _):
-                y = kern(uc, delta, A, Bv, Cv, Dskip, z=z, delta_bias=bias)
+                y, _, _ = kern(uc, delta, bias, A, Bv, Cv)
                 return y.astype(uc.dtype), None
             y, _ = jax.lax.scan(body, u0, None, length=CHAIN)
             return jnp.float32(jnp.sum(y))
