@@ -39,7 +39,35 @@ __all__ = [
     "get_transforms_video",
     "get_transforms_image",
     "FeaturePrepDataset",
+    "read_video_cv2",
 ]
+
+
+def read_video_cv2(path, *, rgb: bool = True) -> np.ndarray:
+    """Decode a video container (mp4/avi/mov/...) to (T, C, H, W) uint8.
+
+    The real-container decode path the reference gets from
+    ``torchvision.io.read_video``/``av`` (datasets/video_utils.py:470-560),
+    built on OpenCV's ``VideoCapture`` — the decoder available in this
+    environment.  Frames come out BGR from OpenCV; ``rgb=True`` (default)
+    flips to RGB to match the reference's torchvision semantics.
+    """
+    import cv2  # deferred: keep the module importable without OpenCV
+
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise IOError(f"cv2 could not open video {path!r}")
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame[..., ::-1] if rgb else frame)
+    cap.release()
+    if not frames:
+        raise ValueError(f"no decodable frames in {path!r}")
+    return np.ascontiguousarray(
+        np.stack(frames).transpose(0, 3, 1, 2))  # (T, H, W, C) -> (T, C, H, W)
 
 
 def _resize_frame(frame_chw: np.ndarray, size: tuple[int, int]) -> np.ndarray:
@@ -217,17 +245,18 @@ class FeaturePrepDataset:
     (the reference's DatasetFromCSV, video_utils.py:470-560).
 
     csv rows: path, text, cls_id.  ``read_video_fn(path) -> (T, C, H, W)
-    uint8`` and ``encode_fn(frames_float) -> latents`` are injected — the
-    reference hardcodes torchvision.io and a CUDA SD-VAE.
+    uint8`` (default: ``read_video_cv2`` — real container decode) and
+    ``encode_fn(frames_float) -> latents`` are injectable — the reference
+    hardcodes torchvision.io and a CUDA SD-VAE.
     """
 
-    def __init__(self, csv_path: str, read_video_fn: Callable,
+    def __init__(self, csv_path: str, read_video_fn: Optional[Callable] = None,
                  encode_fn: Optional[Callable] = None, num_frames: int = 16,
                  frame_interval: int = 1, transform: Optional[Callable] = None,
                  seed: int = 0):
         with open(csv_path) as f:
             self.samples = list(csv.reader(f))
-        self.read_video_fn = read_video_fn
+        self.read_video_fn = read_video_fn or read_video_cv2
         self.encode_fn = encode_fn
         self.num_frames = num_frames
         self.transform = transform or get_transforms_video()
