@@ -116,14 +116,20 @@ def envelope():
          dict(img_dim=128, patch_size=2), (4, 128, 128), 2, 0.88, "img/s"),
         ("1024^2 patch1 (16384 tok)",
          dict(img_dim=128, patch_size=1), (4, 128, 128), 1, 0.24, "img/s"),
-        ("video 16x256^2 (zzvideo_sst)",
-         dict(img_dim=32, patch_size=1, scan_type="zzvideo_sst",
-              video_frames=16), (16, 4, 32, 32), 1, 0.90, "videos/s"),
+        # NOTE: the round-2 README labeled this row "16x256^2" but the 0.90
+        # videos/s number is only consistent with 16x16^2 LATENTS (4096
+        # tokens, cf. the 0.88 img/s 4096-token image row) — relabeled here
+        # and in the README; this is the shipped ucf101-style config's
+        # latent geometry at 128^2 pixels
+        ("video 16 frames x 16^2 latents (zzvideo_sst, 4096 tok)",
+         dict(img_dim=16, patch_size=1, scan_type="zzvideo_sst",
+              video_frames=16), (16, 4, 16, 16), 1, 0.90, "videos/s"),
     ]
     ok = True
     for tag, kw, shape, batch, base, unit in rows:
-        kw = dict(in_channels=4, embed_dim=768, depth=24,
-                  scan_type="zigzagN8", use_pe=2, dtype=jnp.bfloat16, **kw)
+        kw = {**dict(in_channels=4, embed_dim=768, depth=24,
+                     scan_type="zigzagN8", use_pe=2, dtype=jnp.bfloat16),
+              **kw}  # row kwargs override the flagship defaults
         model = ZigMa(**kw)
         x0 = jnp.zeros((batch,) + shape, jnp.float32)
         t0 = jnp.zeros((batch,), jnp.float32)
@@ -156,25 +162,39 @@ def envelope():
 
 
 def _scan_truth_f64(u, delta, A, Bv, Cv, Dskip, z, bias):
-    """numpy float64 sequential selective scan — the ground truth.
+    """numpy float64/complex128 sequential selective scan — ground truth.
 
     Runs entirely on the host with libm transcendentals, independent of
-    both device implementations and of any jax lowering.
+    both device implementations and of any jax lowering.  Handles the
+    reference's S4D-complex mode (complex A/B/C, y = 2*Re<C, x> —
+    selective_scan_interface.py:143-145) and grouped variable B/C of
+    shape (B, L, G, N) where group g covers the D//G consecutive channels
+    (repeat(B, "B G N L -> B (G H) N L")).
     """
     import numpy as np
 
-    u, delta, A, Bv, Cv, Dskip, z, bias = [
-        np.asarray(jax.device_get(a), np.float64)
-        for a in (u, delta, A, Bv, Cv, Dskip, z, bias)]
+    def host(a, ftype=np.float64):
+        a = np.asarray(jax.device_get(a))
+        return a.astype(np.complex128 if np.iscomplexobj(a) else ftype)
+
+    u, delta, Dskip, z, bias = [host(a) for a in (u, delta, Dskip, z, bias)]
+    A, Bv, Cv = host(A), host(Bv), host(Cv)
+    cplx = np.iscomplexobj(A)
     B, L, D = u.shape
     N = A.shape[1]
+    if Bv.ndim == 3:  # (B, L, N) -> one group
+        Bv, Cv = Bv[:, :, None, :], Cv[:, :, None, :]
+    H = D // Bv.shape[2]  # channels per group
     dt = np.logaddexp(0.0, delta + bias)                    # softplus
-    x = np.zeros((B, D, N))
+    x = np.zeros((B, D, N), np.complex128 if cplx else np.float64)
     ys = np.empty((B, L, D))
     for t in range(L):
         la = np.exp(dt[:, t, :, None] * A[None])            # (B,D,N)
-        x = la * x + dt[:, t, :, None] * u[:, t, :, None] * Bv[:, t, None, :]
-        ys[:, t] = np.einsum("bdn,bn->bd", x, Cv[:, t])
+        Bt = np.repeat(Bv[:, t], H, axis=1)                 # (B,D,N)
+        Ct = np.repeat(Cv[:, t], H, axis=1)
+        x = la * x + dt[:, t, :, None] * u[:, t, :, None] * Bt
+        yt = np.einsum("bdn,bdn->bd", x, Ct)
+        ys[:, t] = 2.0 * yt.real if cplx else yt.real
     y = ys + u * Dskip
     return y * (z / (1.0 + np.exp(-z)))
 
@@ -300,6 +320,8 @@ def kernel_check():
                 k: v["max_abs_err"] for k, v in entry.items()},
                 "ok": all(v["ok"] for v in entry.values())}))
 
+    ok_all &= _kernel_check_complex_grouped(cpu, dev, results)
+
     print(json.dumps({
         "metric": "pallas_scan_on_hw_correctness",
         "shape": [B, L, D, N],
@@ -308,6 +330,126 @@ def kernel_check():
         "results": results,
     }))
     return ok_all
+
+
+def _kernel_check_complex_grouped(cpu, dev, results):
+    """Round-3 hardware gates for the two capability-envelope extensions:
+
+    * complex64 on the chunked custom-VJP backend — the backend ``auto``
+      now dispatches S4D-complex to (previously only jnp ``assoc``); the
+      real XLA:TPU compile path for complex scans was never exercised, and
+      the real-dtype chunked backend already caught one TPU miscompile
+      (see kernel_check docstring), so complex gets the same standing gate.
+    * grouped B/C (G=2) through the vmapped Pallas kernel
+      (``_grouped_fast_call`` adds a vmap grid dimension) — interpret-mode
+      CI cannot see Mosaic layout/grid bugs in the vmapped form.
+
+    Forward vs the f64/c128 numpy truth; grads vs the CPU chunked backend
+    on identical inputs (same methodology/tolerances as the real gate).
+
+    Relay note: ``device_put`` of complex64 arrays is UNIMPLEMENTED through
+    the axon TPU relay (the computation itself compiles and runs fine) —
+    so each case ships REAL fp32 leaves and a ``pack`` function that
+    assembles complex operands inside the jit.
+    """
+    import numpy as np
+
+    from zigma_tpu.ops.selective_scan import selective_scan
+
+    ok_all = True
+    gr, ga = 2e-3, 2e-3  # fp32 grad tolerances (as the real fp32 gate)
+    for tag, mk in [("complex64:chunked_tpu", _mk_complex_case),
+                    ("grouped_g2:pallas", _mk_grouped_case)]:
+        with jax.default_device(cpu):
+            args_cpu, bias, backend, pack = mk()
+        args = jax.device_put(args_cpu, dev)
+        bias_dev = jax.device_put(bias, dev)
+        with jax.default_device(cpu):
+            y_gold = _scan_truth_f64(*pack(*args_cpu), bias)
+
+        def loss(b, backend, pack):
+            def f(*real_args):
+                u, delta, A, Bv, Cv, Dskip, z = pack(*real_args)
+                y = selective_scan(u, delta, A, Bv, Cv, Dskip, z=z,
+                                   delta_bias=b, delta_softplus=True,
+                                   backend=backend)
+                return jnp.sum(y.astype(jnp.float32) ** 2) / y.size
+            return f
+
+        nargs = len(args)
+        y_dev = jax.jit(lambda *a: selective_scan(
+            *pack(*a)[:5], pack(*a)[5], z=pack(*a)[6], delta_bias=bias_dev,
+            delta_softplus=True, backend=backend))(*args)
+        g_dev = jax.jit(jax.grad(loss(bias_dev, backend, pack),
+                                 argnums=tuple(range(nargs))))(*args)
+        with jax.default_device(cpu):
+            g_ref = jax.jit(jax.grad(loss(bias, "chunked", pack),
+                                     argnums=tuple(range(nargs))))(*args_cpu)
+
+        entry = {}
+        err = np.abs(np.asarray(jax.device_get(y_dev), np.float64) - y_gold)
+        gold_rms = float(np.sqrt(np.mean(y_gold ** 2)))
+        max_abs = float(err.max())
+        rms_ratio = float(np.sqrt(np.mean(err ** 2)) / gold_rms)
+        passed = max_abs <= 2e-2 and rms_ratio <= 2e-4
+        ok_all &= passed
+        entry["y"] = {"max_abs_err": round(max_abs, 8),
+                      "err_rms_ratio": float(f"{rms_ratio:.3g}"),
+                      "tol": "abs<=0.02,rms<=2e-4",
+                      "golden": "f64/c128 numpy sequential", "ok": passed}
+        for i, (a, b) in enumerate(zip(g_dev, g_ref)):
+            a_h = np.asarray(jax.device_get(a))
+            b_h = np.asarray(jax.device_get(b))
+            diff = np.abs(a_h - b_h)
+            viol = float(np.max(diff - (ga + gr * np.abs(b_h))))
+            passed = viol <= 0.0
+            ok_all &= passed
+            entry[f"g{i}"] = {"max_abs_err": round(float(diff.max()), 8),
+                              "tol": f"rtol={gr},atol={ga}",
+                              "golden": "cpu chunked", "ok": passed}
+        results[tag] = entry
+        print(json.dumps({"impl": tag, **{
+            k: v["max_abs_err"] for k, v in entry.items()},
+            "ok": all(v["ok"] for v in entry.values())}))
+    return ok_all
+
+
+def _mk_complex_case():
+    """S4D-complex case: complex64 A/B/C (selective_scan.cpp:14-51).
+    Leaves are real (re/im pairs); ``pack`` assembles complex in-jit."""
+    B, L, D, N = 4, 512, 512, 8
+    ks = jax.random.split(jax.random.PRNGKey(11), 10)
+    u = jax.random.normal(ks[0], (B, L, D))
+    delta = jax.random.normal(ks[1], (B, L, D)) * 0.5
+    Ar = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
+    Ai = jax.random.normal(ks[3], (D, N))
+    Br, Bi = (jax.random.normal(k, (B, L, N)) for k in (ks[4], ks[5]))
+    Cr, Ci = (jax.random.normal(k, (B, L, N)) for k in (ks[6], ks[7]))
+    Dskip = jax.random.normal(ks[8], (D,))
+    z = jax.random.normal(ks[9], (B, L, D))
+    bias = jnp.full((D,), 0.05, jnp.float32)
+
+    def pack(u, delta, Ar, Ai, Br, Bi, Cr, Ci, Dskip, z):
+        cx = lambda r, i: (r + 1j * i).astype(jnp.complex64)
+        return u, delta, cx(Ar, Ai), cx(Br, Bi), cx(Cr, Ci), Dskip, z
+
+    return (u, delta, Ar, Ai, Br, Bi, Cr, Ci, Dskip, z), bias, "chunked", pack
+
+
+def _mk_grouped_case():
+    """Grouped variable B/C, G=2 (selective_scan_interface.py:30-40)."""
+    B, L, D, N, G = 8, 1024, 512, 16, 2
+    ks = jax.random.split(jax.random.PRNGKey(13), 7)
+    u = jax.random.normal(ks[0], (B, L, D))
+    delta = jax.random.normal(ks[1], (B, L, D)) * 0.5
+    A = -jnp.exp(jax.random.normal(ks[2], (D, N)) * 0.5)
+    Bv = jax.random.normal(ks[3], (B, L, G, N))
+    Cv = jax.random.normal(ks[4], (B, L, G, N))
+    Dskip = jax.random.normal(ks[5], (D,))
+    z = jax.random.normal(ks[6], (B, L, D))
+    bias = jnp.full((D,), 0.05, jnp.float32)
+    pack = lambda *a: a
+    return (u, delta, A, Bv, Cv, Dskip, z), bias, "pallas", pack
 
 
 if __name__ == "__main__":

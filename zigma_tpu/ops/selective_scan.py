@@ -249,6 +249,62 @@ def _chunk_states(la, b, x0):
     return xs
 
 
+# --- real-pair (structure-of-arrays) complex arithmetic --------------------
+# TPUs have no complex hardware type; XLA lowers complex64 to real pairs
+# itself — and on this libtpu that lowering SIGABRTs the compiler on the
+# chunked BACKWARD graph (round 3: tpu_compile_helper exit signal 6 on the
+# (4, 512, 512, 8) grad; the forward compiles and runs).  So the S4D-complex
+# mode (selective_scan.cpp:14-51) runs the SAME monoid on explicit (re, im)
+# pairs: complex only ever appears at the jit boundary (splitting the user's
+# complex64 A/B/C, reassembling the complex cotangents), which compiles fine.
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cexp(lr, li):
+    e = jnp.exp(lr)
+    return e * jnp.cos(li), e * jnp.sin(li)
+
+
+def _scan_combine_pairs(left, right):
+    """Real-pair form of ``_scan_combine``: elements are (Re la, Im la,
+    Re b, Im b); combine is (la_l + la_r, b_l * exp(la_r) + b_r)."""
+    lar_l, lai_l, br_l, bi_l = left
+    lar_r, lai_r, br_r, bi_r = right
+    er, ei = _cexp(lar_r, lai_r)
+    pr, pi = _cmul(br_l, bi_l, er, ei)
+    return lar_l + lar_r, lai_l + lai_r, pr + br_r, pi + bi_r
+
+
+def _chunk_states_pairs(lar, lai, br, bi, x0r, x0i):
+    """Real-pair form of ``_chunk_states``."""
+    lcr, lci, xr0, xi0 = jax.lax.associative_scan(
+        _scan_combine_pairs, (lar, lai, br, bi), axis=1)
+    er, ei = _cexp(lcr, lci)
+    tr, ti = _cmul(er, ei, x0r[:, None], x0i[:, None])
+    return xr0 + tr, xi0 + ti
+
+
+def _chunk_adjoint_pairs(lar, lai, dxr, dxi, g_inr, g_ini):
+    """Real-pair form of ``_chunk_adjoint`` (same flip-into-scan fusion
+    hazard — the optimization barrier mirrors the real path, see below)."""
+    shift = lambda t: jnp.concatenate(
+        [t[:, 1:], jnp.zeros_like(t[:, :1])], axis=1)
+    lar_r = jnp.flip(shift(lar), axis=1)
+    lai_r = jnp.flip(shift(lai), axis=1)
+    dxr_r = jnp.flip(dxr, axis=1)
+    dxi_r = jnp.flip(dxi, axis=1)
+    lar_r, lai_r, dxr_r, dxi_r = jax.lax.optimization_barrier(
+        (lar_r, lai_r, dxr_r, dxi_r))
+    lcr, lci, gr0, gi0 = jax.lax.associative_scan(
+        _scan_combine_pairs, (lar_r, lai_r, dxr_r, dxi_r), axis=1)
+    er, ei = _cexp(lcr, lci)
+    tr, ti = _cmul(er, ei, g_inr[:, None], g_ini[:, None])
+    return jnp.flip(gr0 + tr, axis=1), jnp.flip(gi0 + ti, axis=1)
+
+
 def _chunk_adjoint(la, dx, g_in):
     """Reverse adjoint scan within a chunk.
 
@@ -312,36 +368,62 @@ def _chunked_fwd_impl(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
         t = t.reshape(batch, nc, cl, *t.shape[2:])
         return jnp.moveaxis(t, 1, 0)
 
-    u_c, d_c, B_c, C_c = (reshape_c(t) for t in (uf, dlt, Bvf, Cvf))
+    u_c, d_c = reshape_c(uf), reshape_c(dlt)
 
     cplx = _is_complex(A)
+    if cplx:
+        # real-pair lowering (see the pair helpers above): split the
+        # complex operands ONCE at the boundary; all scan math is real
+        Ar, Ai = jnp.real(A), jnp.imag(A)
+        Br_c, Bi_c = reshape_c(jnp.real(Bvf)), reshape_c(jnp.imag(Bvf))
+        Cr_c, Ci_c = reshape_c(jnp.real(Cvf)), reshape_c(jnp.imag(Cvf))
 
-    def body(x, inp):
-        uc, dc, bc, cc = inp  # (B, cl, D), (B, cl, D), (B, cl, N), (B, cl, N)
-        la = dc[..., None] * A  # (B, cl, D, N)
-        b = (dc * uc)[..., None] * bc[:, :, None, :]
-        if cplx:
-            la = la.astype(jnp.complex64)
-            b = b.astype(jnp.complex64)
-        xs = _chunk_states(la, b, x)
-        if cplx:
+        def body(x, inp):
+            xr, xi = x
+            uc, dc, bcr, bci, ccr, cci = inp
+            lar = dc[..., None] * Ar
+            lai = dc[..., None] * Ai
+            w = (dc * uc)[..., None]
+            xsr, xsi = _chunk_states_pairs(
+                lar, lai, w * bcr[:, :, None, :], w * bci[:, :, None, :],
+                xr, xi)
             # reference complex mode: y = 2 * Re(<C, x>)
-            y = 2.0 * jnp.einsum("bldn,bln->bld", xs, cc).real
-        else:
+            y = 2.0 * (jnp.einsum("bldn,bln->bld", xsr, ccr)
+                       - jnp.einsum("bldn,bln->bld", xsi, cci))
+            return (xsr[:, -1], xsi[:, -1]), (y, x)
+
+        x0 = (jnp.zeros((batch, d_inner, N), jnp.float32),) * 2
+        xs_in = (u_c, d_c, Br_c, Bi_c, Cr_c, Ci_c)
+    else:
+        B_c, C_c = reshape_c(Bvf), reshape_c(Cvf)
+
+        def body(x, inp):
+            uc, dc, bc, cc = inp  # (B,cl,D), (B,cl,D), (B,cl,N), (B,cl,N)
+            la = dc[..., None] * A  # (B, cl, D, N)
+            b = (dc * uc)[..., None] * bc[:, :, None, :]
+            xs = _chunk_states(la, b, x)
             y = jnp.einsum("bldn,bln->bld", xs, cc,
                            preferred_element_type=jnp.float32)
-        return xs[:, -1], (y, x)
+            return xs[:, -1], (y, x)
 
-    x0 = jnp.zeros((batch, d_inner, N),
-                   jnp.complex64 if cplx else jnp.float32)
-    x_final, (ys, carries) = jax.lax.scan(body, x0, (u_c, d_c, B_c, C_c))
+        x0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+        xs_in = (u_c, d_c, B_c, C_c)
+
+    x_final, (ys, carries) = jax.lax.scan(body, x0, xs_in)
     y = jnp.moveaxis(ys, 0, 1).reshape(batch, L_pad, d_inner)[:, :L]
 
     out = y if not has_D else y + _f32(u) * _f32(Dp)
     if has_z:
         out = out * jax.nn.silu(_f32(z))
-    # (B, nc, D, N) chunk starts; x_final = state after the last chunk
-    return out.astype(dtype_in), (jnp.moveaxis(carries, 0, 1), x_final)
+    # chunk starts (B, nc, D, N) — a (re, im) pair of those when complex
+    # (the residual stays real so the bwd graph is complex-free);
+    # x_final = state after the last chunk, complex at the API boundary
+    if cplx:
+        carries = tuple(jnp.moveaxis(c, 0, 1) for c in carries)
+        x_final = (x_final[0] + 1j * x_final[1]).astype(jnp.complex64)
+    else:
+        carries = jnp.moveaxis(carries, 0, 1)
+    return out.astype(dtype_in), (carries, x_final)
 
 
 def _chunked_fwd(cfg, u, delta, A, Bv, Cv, Dp, z, delta_bias):
@@ -356,7 +438,8 @@ def _chunked_bwd(cfg, res, g_out):
     batch, L, d_inner = u.shape
     N = A.shape[1]
     cl = min(chunk, L)
-    nc = carries.shape[1]
+    # carries is a (re, im) pair of (B, nc, D, N) when A is complex
+    nc = (carries[0] if isinstance(carries, tuple) else carries).shape[1]
     L_pad = nc * cl
 
     uf = _f32(u)
@@ -376,86 +459,127 @@ def _chunked_bwd(cfg, res, g_out):
         t = t.reshape(batch, nc, cl, *t.shape[2:])
         return jnp.moveaxis(t, 1, 0)
 
-    u_c, d_c, B_c, C_c, g_c = (reshape_c(t) for t in (uf, dlt, Bvf, Cvf, g))
+    u_c, d_c, g_c = reshape_c(uf), reshape_c(dlt), reshape_c(g)
     if has_z:
         z_c, sig_c, silu_c = (reshape_c(t) for t in (zf, sig, silu_z))
-    car_c = jnp.moveaxis(carries, 1, 0)  # (nc, B, D, N)
-
-    dA0 = jnp.zeros_like(A)
-    dD0 = jnp.zeros((d_inner,), jnp.float32)
-    gx0 = jnp.zeros((batch, d_inner, N),
-                    jnp.complex64 if _is_complex(A) else jnp.float32)
 
     cplx = _is_complex(A)
+    dD0 = jnp.zeros((d_inner,), jnp.float32)
 
-    def body(carry, inp):
-        gx, dA_acc, dD_acc = carry
+    def _epilogue(y, inp_tail, dD_acc):
+        """Shared real epilogue: dz / dD / the du(D) term from the gate."""
+        uc, gc = inp_tail[0], inp_tail[1]
         if has_z:
-            uc, dc, bc, cc, gc, x0c, zc, sigc, siluc = inp
-        else:
-            uc, dc, bc, cc, gc, x0c = inp
-
-        # recompute within-chunk states (same recompute-in-backward strategy
-        # as the reference kernel, selective_scan_bwd_kernel.cuh)
-        la = dc[..., None] * A
-        b = (dc * uc)[..., None] * bc[:, :, None, :]
-        if cplx:
-            la = la.astype(jnp.complex64)
-            b = b.astype(jnp.complex64)
-        xs = _chunk_states(la, b, x0c)
-        if cplx:
-            y = 2.0 * jnp.einsum("bldn,bln->bld", xs, cc).real
-        else:
-            y = jnp.einsum("bldn,bln->bld", xs, cc,
-                           preferred_element_type=jnp.float32)
-
-        if has_z:
+            zc, sigc, siluc = inp_tail[2:]
             out_pre = y + uc * _f32(Dp) if has_D else y
             dz_c = gc * out_pre * (sigc * (1.0 + zc * (1.0 - sigc)))
             gyD = gc * siluc
         else:
             dz_c = None
             gyD = gc
-
         if has_D:
             dD_acc = dD_acc + jnp.einsum("bld,bld->d", gyD, uc)
             du_c = gyD * _f32(Dp)
         else:
             du_c = jnp.zeros_like(uc)
+        return gyD, du_c, dz_c, dD_acc
 
-        dy = gyD  # (B, cl, D)
-        # Complex cotangents follow the JAX convention for real-valued
-        # losses, g_w = dL/dRe(w) - i*dL/dIm(w) — under which the chain
-        # rule through HOLOMORPHIC factors is conjugate-free (g_w = k*g_o
-        # for o = k*w; verified empirically: jax.grad of 2*Re(k*w) is 2k).
-        # So the complex adjoint is the real code with (a) the factor 2
-        # and no conj on the y = 2*Re(x*C) taps, and (b) Re(k*g) when a
-        # complex product lands on a REAL leaf (delta, u).  Validated
-        # against autodiff-through-ref and torch autograd
-        # (tests/test_selective_scan.py, test_reference_scan_parity.py).
-        if cplx:
-            dC_c = 2.0 * jnp.einsum("bld,bldn->bln", dy, xs)
-            dx_local = 2.0 * dy[..., None] * cc[:, :, None, :]
-        else:
+    # Complex cotangents follow the JAX convention for real-valued
+    # losses, g_w = dL/dRe(w) - i*dL/dIm(w) — under which the chain
+    # rule through HOLOMORPHIC factors is conjugate-free (g_w = k*g_o
+    # for o = k*w; verified empirically: jax.grad of 2*Re(k*w) is 2k).
+    # So the complex adjoint is the real code with (a) the factor 2
+    # and no conj on the y = 2*Re(x*C) taps, and (b) Re(k*g) when a
+    # complex product lands on a REAL leaf (delta, u).  Validated
+    # against autodiff-through-ref and torch autograd
+    # (tests/test_selective_scan.py, test_reference_scan_parity.py).
+    # The complex path runs entirely on (re, im) PAIRS — see the pair
+    # helpers above for why (XLA:TPU SIGABRT on the complex bwd graph).
+    if cplx:
+        Ar, Ai = jnp.real(A), jnp.imag(A)
+        Br_c, Bi_c = reshape_c(jnp.real(Bvf)), reshape_c(jnp.imag(Bvf))
+        Cr_c, Ci_c = reshape_c(jnp.real(Cvf)), reshape_c(jnp.imag(Cvf))
+        car_rc = jnp.moveaxis(carries[0], 1, 0)  # (nc, B, D, N)
+        car_ic = jnp.moveaxis(carries[1], 1, 0)
+        dA0 = (jnp.zeros_like(Ar), jnp.zeros_like(Ai))
+        gx0 = (jnp.zeros((batch, d_inner, N), jnp.float32),) * 2
+
+        def body(carry, inp):
+            (gxr, gxi), (dAr_acc, dAi_acc), dD_acc = carry
+            uc, dc, bcr, bci, ccr, cci, gc, x0r, x0i = inp[:9]
+            lar = dc[..., None] * Ar
+            lai = dc[..., None] * Ai
+            w = (dc * uc)[..., None]
+            br, bi = w * bcr[:, :, None, :], w * bci[:, :, None, :]
+            # recompute within-chunk states (recompute-in-backward, as the
+            # reference kernel, selective_scan_bwd_kernel.cuh)
+            xsr, xsi = _chunk_states_pairs(lar, lai, br, bi, x0r, x0i)
+            y = 2.0 * (jnp.einsum("bldn,bln->bld", xsr, ccr)
+                       - jnp.einsum("bldn,bln->bld", xsi, cci))
+            gyD, du_c, dz_c, dD_acc = _epilogue(
+                y, (uc, gc) + tuple(inp[9:]), dD_acc)
+            dy = gyD
+            dC_r = 2.0 * jnp.einsum("bld,bldn->bln", dy, xsr)
+            dC_i = 2.0 * jnp.einsum("bld,bldn->bln", dy, xsi)
+            dxr = 2.0 * dy[..., None] * ccr[:, :, None, :]
+            dxi = 2.0 * dy[..., None] * cci[:, :, None, :]
+            gsr, gsi = _chunk_adjoint_pairs(lar, lai, dxr, dxi, gxr, gxi)
+            # db = gs; dla = gs * a * x_{t-1} = gs * (xs - b)
+            dlar, dlai = _cmul(gsr, gsi, xsr - br, xsi - bi)
+            gB = (jnp.einsum("bldn,bln->bld", gsr, bcr)
+                  - jnp.einsum("bldn,bln->bld", gsi, bci))   # Re<gs, B>
+            dd_A = (jnp.einsum("bldn,dn->bld", dlar, Ar)
+                    - jnp.einsum("bldn,dn->bld", dlai, Ai))  # Re<dla, A>
+            dd_c = dd_A + gB * uc
+            dB_r = jnp.einsum("bldn,bld->bln", gsr, dc * uc)
+            dB_i = jnp.einsum("bldn,bld->bln", gsi, dc * uc)
+            dAr_acc = dAr_acc + jnp.einsum("bldn,bld->dn", dlar, dc)
+            dAi_acc = dAi_acc + jnp.einsum("bldn,bld->dn", dlai, dc)
+            # carry to the previous chunk: a_{t0} * g_{t0}
+            er, ei = _cexp(lar[:, 0], lai[:, 0])
+            gx_prev = _cmul(er, ei, gsr[:, 0], gsi[:, 0])
+            du_c = du_c + dc * gB
+            outs = (du_c, dd_c, (dB_r, dB_i), (dC_r, dC_i), dz_c)
+            return (gx_prev, (dAr_acc, dAi_acc), dD_acc), (
+                outs if has_z else outs[:4])
+
+        xs_in = (u_c, d_c, Br_c, Bi_c, Cr_c, Ci_c, g_c, car_rc, car_ic)
+    else:
+        B_c, C_c = reshape_c(Bvf), reshape_c(Cvf)
+        car_c = jnp.moveaxis(carries, 1, 0)  # (nc, B, D, N)
+        dA0 = jnp.zeros_like(A)
+        gx0 = jnp.zeros((batch, d_inner, N), jnp.float32)
+
+        def body(carry, inp):
+            gx, dA_acc, dD_acc = carry
+            uc, dc, bc, cc, gc, x0c = inp[:6]
+            # recompute within-chunk states (recompute-in-backward, as the
+            # reference kernel, selective_scan_bwd_kernel.cuh)
+            la = dc[..., None] * A
+            b = (dc * uc)[..., None] * bc[:, :, None, :]
+            xs = _chunk_states(la, b, x0c)
+            y = jnp.einsum("bldn,bln->bld", xs, cc,
+                           preferred_element_type=jnp.float32)
+            gyD, du_c, dz_c, dD_acc = _epilogue(
+                y, (uc, gc) + tuple(inp[6:]), dD_acc)
+            dy = gyD  # (B, cl, D)
             dC_c = jnp.einsum("bld,bldn->bln", dy, xs)
             dx_local = dy[..., None] * cc[:, :, None, :]  # (B, cl, D, N)
-        gs = _chunk_adjoint(la, dx_local, gx)  # (B, cl, D, N)
-        # db = gs; dla = gs * a * x_{t-1} = gs * (xs - b)
-        dla = gs * (xs - b)
-        gB = jnp.einsum("bldn,bln->bld", gs, bc)  # sum_n gs * B
-        dd_A = jnp.einsum("bldn,dn->bld", dla, A)
-        if cplx:
-            gB, dd_A = gB.real, dd_A.real
-        dd_c = dd_A + gB * uc
-        dB_c = jnp.einsum("bldn,bld->bln", gs, dc * uc)
-        dA_acc = dA_acc + jnp.einsum("bldn,bld->dn", dla, dc)
-        # carry to the previous chunk: a_{t0} * g_{t0}
-        gx_prev = jnp.exp(la[:, 0]) * gs[:, 0]
-        du_c = du_c + dc * gB
-        outs = (du_c, dd_c, dB_c, dC_c, dz_c) if has_z else (du_c, dd_c, dB_c, dC_c)
-        return (gx_prev, dA_acc, dD_acc), outs
+            gs = _chunk_adjoint(la, dx_local, gx)  # (B, cl, D, N)
+            # db = gs; dla = gs * a * x_{t-1} = gs * (xs - b)
+            dla = gs * (xs - b)
+            gB = jnp.einsum("bldn,bln->bld", gs, bc)  # sum_n gs * B
+            dd_A = jnp.einsum("bldn,dn->bld", dla, A)
+            dd_c = dd_A + gB * uc
+            dB_c = jnp.einsum("bldn,bld->bln", gs, dc * uc)
+            dA_acc = dA_acc + jnp.einsum("bldn,bld->dn", dla, dc)
+            # carry to the previous chunk: a_{t0} * g_{t0}
+            gx_prev = jnp.exp(la[:, 0]) * gs[:, 0]
+            du_c = du_c + dc * gB
+            outs = (du_c, dd_c, dB_c, dC_c, dz_c)
+            return (gx_prev, dA_acc, dD_acc), (outs if has_z else outs[:4])
 
-    xs_in = (u_c, d_c, B_c, C_c, g_c, car_c)
+        xs_in = (u_c, d_c, B_c, C_c, g_c, car_c)
     if has_z:
         xs_in = xs_in + (z_c, sig_c, silu_c)
     (gx, dA, dD), outs = jax.lax.scan(body, (gx0, dA0, dD0), xs_in, reverse=True)
@@ -464,7 +588,16 @@ def _chunked_bwd(cfg, res, g_out):
         t = jnp.moveaxis(t, 0, 1).reshape(batch, L_pad, *t.shape[3:])
         return t[:, :L]
 
-    du, dd, dBv, dCv = (unchunk(t) for t in outs[:4])
+    du, dd = unchunk(outs[0]), unchunk(outs[1])
+    if cplx:
+        # reassemble the complex cotangents at the boundary (JAX convention
+        # g_w = dL/dRe(w) - i dL/dIm(w) with the conjugate-free chain rule
+        # — identical to what autodiff produced on the old complex path)
+        dBv = unchunk(outs[2][0]) + 1j * unchunk(outs[2][1])
+        dCv = unchunk(outs[3][0]) + 1j * unchunk(outs[3][1])
+        dA = dA[0] + 1j * dA[1]
+    else:
+        dBv, dCv = unchunk(outs[2]), unchunk(outs[3])
     dz = unchunk(outs[4]).astype(z.dtype) if has_z else None
 
     # softplus / bias backward
