@@ -120,7 +120,14 @@ def _scan_kernel(u_ref, dt_ref, bias_ref, A_ref, BC_ref,
     Cv = BC_ref[0, :, :, 1][..., None]         # (BL, N, 1)
     cdtype = decay_s.dtype
 
-    # bulk precompute: one full-width pass instead of per-step slices
+    # bulk precompute: one full-width pass instead of per-step slices.
+    # The exp here is NOT worth approximating: replacing it with exp2, a
+    # Schraudolph-style poly-exp2 (bit-assembled 2^k), or even a 2-op clip
+    # measured 1.63 / 5.2-5.6 / 1.82 ms vs 1.64 exact on the bf16 flagship
+    # fwd — the kernel sits at its VPU issue floor (~32 vector issues per
+    # recurrence step x 128 steps x 384 grid steps ~ 1.6 ms at 0.94 GHz),
+    # so the transcendental is hidden and int/bitcast ops are pathological
+    # in Mosaic (see docs/DESIGN.md section 9).
     decay_s[...] = jnp.exp(dt[:, None, :] * A[None]).astype(cdtype)
     w_s[...] = ((dt * u)[:, None, :] * Bv.astype(jnp.float32)).astype(cdtype)
 
