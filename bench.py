@@ -17,6 +17,7 @@ the iteration index so no per-call data upload is needed.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -67,6 +68,7 @@ def main():
     start = time.perf_counter()
     for i in range(1, n_iters + 1):
         s = float(generate_sum(params, i))  # scalar transfer = real sync
+        assert math.isfinite(s), f"non-finite sample sum at iter {i}: {s}"
     elapsed = time.perf_counter() - start
 
     # the jitted sampler is unsharded: exactly ONE chip does the work,
@@ -80,7 +82,11 @@ def main():
     # x 50 forwards per image batch / measured wall time.
     from zigma_tpu.models.zigma import zigma_flops
     fwd_flops = zigma_flops(batch=batch, seq=1024, embed_dim=768, depth=24)
-    tflops_per_sec = fwd_flops * num_steps * n_iters / elapsed / 1e12
+    # a fixed-grid euler sampler over linspace(0, 1, num_steps) performs
+    # num_steps-1 forwards (one per grid interval, odeint_fixed scans
+    # ts[:-1]) — not num_steps
+    n_forwards = num_steps - 1
+    tflops_per_sec = fwd_flops * n_forwards * n_iters / elapsed / 1e12
     peak = 197.0  # v5e bf16 peak TFLOP/s
     print(json.dumps({
         "metric": "images/sec/chip, 50-step ODE, 256^2 latents, zigzag8_b1",
@@ -145,11 +151,12 @@ def envelope():
             return jnp.float32(jnp.sum(sample_fn(z, model_fn)[-1]))
 
         s = float(generate_sum(params, 0))  # warmup/compile
-        ok &= bool(jnp.isfinite(s))
+        ok &= math.isfinite(s)
         n_iters = 2
         start = time.perf_counter()
         for i in range(1, n_iters + 1):
             s = float(generate_sum(params, i))
+            ok &= math.isfinite(s)  # validate the TIMED draws too
         per_sec = batch * n_iters / (time.perf_counter() - start)
         print(json.dumps({
             "metric": f"50-step ODE sampling, {tag}",

@@ -152,3 +152,27 @@ def test_rule_table_covers_every_variant_tree():
             y = jnp.zeros((1,), jnp.int32)
         p = m.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), y)
         cast_params_for_inference(p)  # must not raise
+
+
+def test_norm_submodule_generic_leaves_kept():
+    """The keep rules apply to every PATH component, not just the leaf: a
+    norm implemented as a submodule with generic Flax leaf names
+    (.../norm/{scale,bias}) must keep fp32 — the generic kernel/bias cast
+    rule must not reach through a keep-named module (round-3 review
+    finding: the exhaustiveness guarantee had a silent hole here)."""
+    import jax.numpy as jnp
+
+    from zigma_tpu.utils.inference import cast_params_for_inference
+
+    params = {"params": {"blocks_0": {
+        "norm": {"scale": jnp.ones((8,), jnp.float32),
+                 "bias": jnp.zeros((8,), jnp.float32)},
+        "out_proj": {"kernel": jnp.zeros((8, 8), jnp.float32),
+                     "bias": jnp.zeros((8,), jnp.float32)},
+    }}}
+    out = cast_params_for_inference(params, jnp.bfloat16)
+    blk = out["params"]["blocks_0"]
+    assert blk["norm"]["scale"].dtype == jnp.float32
+    assert blk["norm"]["bias"].dtype == jnp.float32
+    assert blk["out_proj"]["kernel"].dtype == jnp.bfloat16
+    assert blk["out_proj"]["bias"].dtype == jnp.bfloat16

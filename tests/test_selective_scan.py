@@ -388,3 +388,46 @@ def test_grouped_bc_return_last_state_chunked():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("which", ["B_grouped", "C_grouped"])
+@pytest.mark.parametrize("backend", ["auto", "chunked", "pallas"])
+def test_mixed_rank_grouped_bc(which, backend):
+    """Grouped (B, L, G, N) on ONE side with a shared (B, L, N) projection
+    on the other: the reference treats grouping per-tensor (is_variable_B/C
+    independent, selective_scan_interface.py:30-40), so the shared side
+    applies to every group.  Round 3 regression: the grouped fast-backend
+    dispatch must broadcast the shared side, not raise (chunked) or
+    silently slice off groups (pallas)."""
+    rng = np.random.default_rng(21)
+    bsz, L, d, G, n = 2, 128, 256, 2, 4
+    u = jnp.asarray(rng.standard_normal((bsz, L, d)), jnp.float32)
+    delta = jnp.asarray(0.5 * rng.standard_normal((bsz, L, d)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(0.3 * rng.standard_normal((d, n)), jnp.float32))
+    grouped = jnp.asarray(rng.standard_normal((bsz, L, G, n)), jnp.float32)
+    shared = jnp.asarray(rng.standard_normal((bsz, L, n)), jnp.float32)
+    if which == "B_grouped":
+        B, C = grouped, shared
+        Bx, Cx = grouped, jnp.broadcast_to(shared[:, :, None],
+                                           (bsz, L, G, n))
+    else:
+        B, C = shared, grouped
+        Bx, Cx = jnp.broadcast_to(shared[:, :, None],
+                                  (bsz, L, G, n)), grouped
+    want = selective_scan_ref(u, delta, A, Bx, Cx, delta_softplus=True)
+    got = selective_scan(u, delta, A, B, C, delta_softplus=True,
+                         backend=backend, chunk=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=6e-4)
+
+
+def test_mismatched_group_counts_raise():
+    rng = np.random.default_rng(22)
+    bsz, L, d, n = 2, 16, 8, 4
+    u = jnp.asarray(rng.standard_normal((bsz, L, d)), jnp.float32)
+    delta = jnp.asarray(0.5 * rng.standard_normal((bsz, L, d)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(0.3 * rng.standard_normal((d, n)), jnp.float32))
+    B = jnp.asarray(rng.standard_normal((bsz, L, 2, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((bsz, L, 4, n)), jnp.float32)
+    with pytest.raises(ValueError, match="n_groups"):
+        selective_scan(u, delta, A, B, C, delta_softplus=True)

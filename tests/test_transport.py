@@ -190,6 +190,53 @@ class TestSamplers:
         np.testing.assert_allclose(z, x, atol=1e-5)
         np.testing.assert_allclose(logp, transport.prior_logp(x), rtol=1e-4)
 
+    @pytest.mark.parametrize("method", ["euler", "heun"])
+    def test_likelihood_fixed_grid_methods(self, method):
+        """Both fixed-grid likelihood integrators (the CLI passes
+        ode.sampling_method straight through, cli/sample.py) — identity
+        property for the zero-velocity model."""
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        model = lambda x, t: jnp.zeros_like(x)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 2, 2))
+        fn = sampler.sample_ode_likelihood(sampling_method=method,
+                                           num_steps=5)
+        logp, z = fn(jax.random.PRNGKey(1), x, model)
+        np.testing.assert_allclose(z, x, atol=1e-5)
+        np.testing.assert_allclose(logp, transport.prior_logp(x), rtol=1e-4)
+
+    def test_likelihood_heun_converges_faster_than_euler(self):
+        """2nd-order accuracy on a LINEAR time-dependent velocity
+        a(t)*x: Rademacher probes make the Hutchinson divergence estimate
+        EXACT there (eps^T a eps = a * dim since eps_i^2 = 1), so the logp
+        error is pure integrator truncation."""
+        transport = create_transport("Linear", "velocity")
+        sampler = Sampler(transport)
+        model = lambda x, t: (0.2 + 0.6 * t)[..., None, None, None] * x
+        x = 0.5 * jax.random.normal(jax.random.PRNGKey(2), (3, 2, 2, 2))
+        rng = jax.random.PRNGKey(3)
+
+        def logp_with(method, n):
+            fn = sampler.sample_ode_likelihood(sampling_method=method,
+                                               num_steps=n)
+            return fn(rng, x, model)[0]
+
+        truth = logp_with("euler", 2049)
+        err_heun = np.max(np.abs(np.asarray(logp_with("heun", 17) - truth)))
+        err_euler = np.max(np.abs(np.asarray(logp_with("euler", 17) - truth)))
+        assert err_heun < 0.25 * err_euler
+        assert err_heun < 5e-3
+
+    def test_sde_requires_rng_or_noise(self):
+        """rng=None without injected Brownian increments must fail loudly
+        (a silent PRNGKey(0) default would make every 'random' batch
+        byte-identical)."""
+        sampler, model, z = self._setup()
+        fn = sampler.sample_sde(num_steps=6, diffusion_form="sigma",
+                                last_step="Mean", last_step_size=0.04)
+        with pytest.raises(ValueError, match="rng=None"):
+            fn(None, z, model)
+
 
 class TestDopri5VsScipy:
     """Tolerance-swept cross-validation of the native adaptive dopri5.

@@ -733,6 +733,24 @@ def selective_scan(
         # silently double the output
         raise ValueError("complex B/C require complex A (the reference's "
                          "S4D-complex mode dispatches on A's dtype)")
+    if (B.ndim, C.ndim) in ((4, 3), (3, 4)):
+        # mixed-rank variable B/C: the reference treats grouping per-tensor
+        # (is_variable_B/C are independent, selective_scan_interface.py:
+        # 30-40), so a shared (B, L, N) projection alongside a grouped
+        # (B, L, G, N) one applies to every group — broadcast it so the
+        # grouped fast backends see matching ranks (free under XLA)
+        G = B.shape[2] if B.ndim == 4 else C.shape[2]
+        if B.ndim == 3:
+            B = jnp.broadcast_to(B[:, :, None],
+                                 B.shape[:2] + (G,) + B.shape[2:])
+        else:
+            C = jnp.broadcast_to(C[:, :, None],
+                                 C.shape[:2] + (G,) + C.shape[2:])
+    if B.ndim == 4 and C.ndim == 4 and B.shape[2] != C.shape[2]:
+        raise ValueError(
+            f"grouped B/C must agree on n_groups (got {B.shape[2]} vs "
+            f"{C.shape[2]}; the reference kernel checks C against B's "
+            "n_groups, selective_scan.cpp)")
     variable_bc = B.ndim in (3, 4) and C.ndim in (3, 4)
     if backend == "auto" and cplx:
         # complex64 weights (the reference kernel's S4D-complex dispatch):

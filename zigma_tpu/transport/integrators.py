@@ -228,6 +228,11 @@ def sdeint(drift: Callable, diffusion: Callable, rng, x0, t0: float, t1: float,
 
     step = {"Euler": em_step, "Heun": heun_step}[method]
     if rng is None:
-        rng = jax.random.PRNGKey(0)  # unused when noise is injected
+        if noise is None:
+            raise ValueError(
+                "sdeint: rng=None is only valid when the Brownian "
+                "increments are injected via noise=...; without either, "
+                "every call would silently reuse the same draws")
+        rng = jax.random.PRNGKey(0)  # unused: every draw is injected
     (_, _), traj = jax.lax.scan(step, (x0, rng), (ts[:-1], noise))
     return traj

@@ -315,11 +315,17 @@ class Sampler:
                 traj = odeint_dopri5(drift, (x, init_logp),
                                      t0, t1, num_steps, atol=atol, rtol=rtol)
                 z, delta_logp = traj[0][-1], traj[1][-1]
-            elif sampling_method.lower() == "euler":
+            elif sampling_method.lower() in ("euler", "heun"):
+                # one fresh Rademacher probe per DRIFT EVALUATION (the
+                # reference draws th.randint inside the drift,
+                # transport.py:441) — heun evaluates the drift twice per step
+                n_evals = 1 if sampling_method.lower() == "euler" else 2
                 if probes is None:
                     probes = (jax.random.randint(
-                        rng, (num_steps - 1,) + x.shape, 0, 2)
+                        rng, (n_evals * (num_steps - 1),) + x.shape, 0, 2)
                         .astype(x.dtype) * 2 - 1)
+                probes = jnp.reshape(
+                    probes, (num_steps - 1, n_evals) + x.shape)
                 ts = jnp.linspace(t0, t1, num_steps)
                 dts = ts[1:] - ts[:-1]
 
@@ -327,8 +333,18 @@ class Sampler:
                     t, dt, eps = inp
                     tb = jnp.full((x.shape[0],), t, jnp.float32)
                     dx, dlogp = _drift_with_probe(
-                        state, tb, eps, model_fn, model_kwargs)
-                    state = (state[0] + dt * dx, state[1] + dt * dlogp)
+                        state, tb, eps[0], model_fn, model_kwargs)
+                    if n_evals == 1:
+                        state = (state[0] + dt * dx, state[1] + dt * dlogp)
+                    else:
+                        # heun: corrector drift at the Euler predictor
+                        # (odeint_fixed's heun_step on the augmented state)
+                        pred = (state[0] + dt * dx, state[1] + dt * dlogp)
+                        tb2 = jnp.full((x.shape[0],), t + dt, jnp.float32)
+                        dx2, dlogp2 = _drift_with_probe(
+                            pred, tb2, eps[1], model_fn, model_kwargs)
+                        state = (state[0] + 0.5 * dt * (dx + dx2),
+                                 state[1] + 0.5 * dt * (dlogp + dlogp2))
                     return state, None
 
                 (z, delta_logp), _ = jax.lax.scan(

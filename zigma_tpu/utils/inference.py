@@ -68,8 +68,13 @@ def _classify(path_names, leaf_name):
     """-> "keep" | "cast"; raises on an unrecognized fp32 leaf."""
     if any(n in _KEEP_MODULES for n in path_names):
         return "keep"
-    if (leaf_name in _KEEP_LEAF
-            or any(leaf_name.startswith(p) for p in _KEEP_LEAF_PREFIX)):
+    # the keep-name rules apply to EVERY path component, not just the leaf:
+    # a norm implemented as a submodule (e.g. ".../norm/bias") must keep its
+    # generically-named leaves fp32 — otherwise the generic kernel/bias cast
+    # rule below would silently violate the fp32 norm contract
+    if any(n in _KEEP_LEAF
+           or any(n.startswith(p) for p in _KEEP_LEAF_PREFIX)
+           for n in path_names):
         return "keep"
     if leaf_name in _CAST_LEAF or leaf_name in _CAST_GENERIC:
         return "cast"
