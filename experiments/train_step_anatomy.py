@@ -88,10 +88,14 @@ def main():
     def grad_only(params, k):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, k, data)
-        # consume the grads with a cheap reduction so nothing is elided
+        # consume EVERY grad element: a sliced consumption (g[..., :1]) was
+        # tried first and let XLA narrow the weight-grad einsums to the
+        # consumed column, understating the backward by ~25 ms — the same
+        # full reduction the real step pays via optax.global_norm
         gn = jax.tree.reduce(
             lambda a, b: a + b,
-            jax.tree.map(lambda g: jnp.sum(jnp.abs(g[..., :1])), grads))
+            jax.tree.map(lambda g: jnp.sum(jnp.abs(g.astype(jnp.float32))),
+                         grads))
         return loss + 0.0 * gn
 
     float(grad_only(params, rng))
@@ -107,20 +111,72 @@ def main():
         lambda i: fwd(params, jax.random.fold_in(rng, i))), 2)
     print(json.dumps({"forward_ms": res["forward_ms_depth24"]}), flush=True)
 
-    # optimizer + EMA cost comes out of the full-vs-grad-only SUBTRACTION
-    # (both pay the same per-call relay RTT, so it cancels).  An in-jit
-    # fori_loop differential was tried first and measured ~0: unless the
-    # scalar output consumes EVERY leaf of params/ema/opt_state, XLA
-    # dead-code-eliminates the untouched per-leaf update chains (each leaf's
-    # m/v/p/ema chain is independent) — a trap, not a measurement.
+    # -- device-true step time: k steps chained IN-JIT -----------------------
+    # The per-call full-step number above includes ~38 ms of relay/dispatch
+    # overhead for returning the ~2.2 GB state pytree (the scalar-returning
+    # measurements pay far less).  Chaining steps inside one jit removes the
+    # per-step output handling entirely.  DCE trap: the scalar output must
+    # consume EVERY leaf of params/ema/opt_state, otherwise XLA eliminates
+    # the untouched per-leaf update chains (each leaf's m/v/p/ema chain is
+    # independent) and the loop measures ~0.
+    import optax
+    from zigma_tpu.train.state import update_ema
+
+    def tree_sum(t):
+        return sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                   for x in jax.tree.leaves(t))
+
+    def chain(k):
+        @jax.jit
+        def f(state):
+            def body(i, s):
+                _, grads = jax.value_and_grad(loss_fn)(
+                    s.params, jax.random.fold_in(rng, i), data)
+                updates, opt_state = optimizer.update(grads, s.opt_state,
+                                                      s.params)
+                p = optax.apply_updates(s.params, updates)
+                ema = update_ema(s.ema_params, p, 0.9999)
+                return s.replace(step=s.step + 1, params=p, ema_params=ema,
+                                 opt_state=opt_state)
+            s = jax.lax.fori_loop(0, k, body, state)
+            return tree_sum(s.params) + tree_sum(s.ema_params) \
+                + tree_sum(s.opt_state)
+        return f
+
+    def median3(fn, *a):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v = float(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        assert v == v
+        ts.sort()
+        return ts[1]
+
+    f2, f8 = chain(2), chain(8)
+    float(f2(state)); float(f8(state))
+    t2, t8 = median3(f2, state), median3(f8, state)
+    res["in_jit_step_ms_depth24"] = round((t8 - t2) / 6 * 1e3, 2)
+    print(json.dumps({"in_jit_step_ms": res["in_jit_step_ms_depth24"]}),
+          flush=True)
 
     d24, d12 = res["full_step_ms_depth24"], res["full_step_ms_depth12"]
     res["per_layer_ms"] = round((d24 - d12) / 12, 3)
     res["intercept_ms"] = round(d24 - 24 * res["per_layer_ms"], 2)
     res["backward_ms"] = round(res["grad_only_ms_depth24"]
                                - res["forward_ms_depth24"], 2)
-    res["opt_ema_ms"] = round(d24 - res["grad_only_ms_depth24"], 2)
-    res["imgs_per_sec"] = round(BS / (d24 / 1e3), 2)
+    # full - grad_only mixes the optimizer/EMA with the EXTRA per-call
+    # dispatch overhead of returning the state pytree (vs a scalar); the
+    # clean optimizer cost is in_jit_step - (grad_only - scalar-RTT) and an
+    # independent SGD-vs-AdamW full-step A/B measured the optimizer delta
+    # at ~7 ms — see docs/DESIGN.md §8
+    res["opt_ema_plus_state_return_ms"] = round(
+        d24 - res["grad_only_ms_depth24"], 2)
+    res["per_call_dispatch_overhead_ms"] = round(
+        d24 - res["in_jit_step_ms_depth24"], 2)
+    res["imgs_per_sec_per_call"] = round(BS / (d24 / 1e3), 2)
+    res["imgs_per_sec_in_jit"] = round(
+        BS / (res["in_jit_step_ms_depth24"] / 1e3), 2)
 
     os.makedirs("experiments/results", exist_ok=True)
     with open("experiments/results/train_step_anatomy.json", "w") as f:

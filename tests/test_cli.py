@@ -420,3 +420,27 @@ class TestServeCLI:
             assert "n must be" in json.loads(r.read())["error"]
         finally:
             server.shutdown()
+
+    def test_overload_503_and_timeout_abandons(self):
+        """Backpressure unit test (no device work): a full queue rejects
+        immediately with OverloadedError (HTTP 503), and a client timeout
+        marks its request abandoned so the worker will skip it."""
+        import queue as q
+
+        from zigma_tpu.cli.serve import (GenerationWorker, OverloadedError,
+                                         _Request)
+        from zigma_tpu.config import load_config
+
+        w = object.__new__(GenerationWorker)  # no compile: queue logic only
+        w.max_batch = 4
+        w.cfg = load_config(CONFIG_DIR, "default", TINY)
+        w.queue = q.Queue(maxsize=1)
+        w.queue.put(_Request(1, 0, None, 1.0))  # pre-filled -> full
+        with pytest.raises(OverloadedError, match="queue full"):
+            w.submit(n=1, seed=0)
+
+        w.queue = q.Queue(maxsize=1)  # empty, but no worker thread running
+        with pytest.raises(TimeoutError):
+            w.submit(n=1, seed=0, timeout=0.05)
+        req = w.queue.get_nowait()
+        assert req.abandoned.is_set()

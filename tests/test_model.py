@@ -323,3 +323,54 @@ class TestDropPath:
         o_eval = m.apply(params, x, t)
         np.testing.assert_allclose(np.asarray(o_train), np.asarray(o_eval),
                                    atol=1e-6)
+
+
+class TestPermuteTokens:
+    """permute_tokens: the bijection-aware gather whose VJP is the inverse
+    gather (never a scatter-add) — must be BIT-identical to jnp.take in both
+    directions (round 3, docs/DESIGN.md §8)."""
+
+    def test_forward_and_adjoint_bit_identical_to_take(self):
+        from zigma_tpu.models.mamba import permute_tokens
+
+        rng = np.random.default_rng(3)
+        L = 64
+        perm = jnp.asarray(np.argsort(rng.standard_normal(L)), jnp.int32)
+        inv = jnp.asarray(np.argsort(np.asarray(perm)), jnp.int32)
+        x = jnp.asarray(rng.standard_normal((2, L, 8)), jnp.float32)
+
+        np.testing.assert_array_equal(
+            np.asarray(permute_tokens(x, perm, inv)),
+            np.asarray(jnp.take(x, perm, axis=1)))
+
+        def loss(f):
+            def g(xx):
+                y = f(xx)
+                w = jnp.sin(jnp.arange(y.size, dtype=jnp.float32)
+                            ).reshape(y.shape)
+                return jnp.sum(y * w)
+            return g
+
+        g_take = jax.grad(loss(lambda xx: jnp.take(xx, perm, axis=1)))(x)
+        g_perm = jax.grad(loss(lambda xx: permute_tokens(xx, perm, inv)))(x)
+        np.testing.assert_array_equal(np.asarray(g_perm), np.asarray(g_take))
+
+    def test_round_trip_is_identity(self):
+        from zigma_tpu.models.mamba import permute_tokens
+
+        rng = np.random.default_rng(4)
+        L = 32
+        perm = jnp.asarray(np.argsort(rng.standard_normal(L)), jnp.int32)
+        inv = jnp.asarray(np.argsort(np.asarray(perm)), jnp.int32)
+        x = jnp.asarray(rng.standard_normal((1, L, 4)), jnp.float32)
+        y = permute_tokens(permute_tokens(x, perm, inv), inv, perm)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_mismatched_pair_raises(self):
+        m = Mamba(d_model=16, d_state=4, scan_type="zigzagN2",
+                  scan_backend="ref")
+        x = jnp.zeros((1, 16, 16))
+        perm = jnp.arange(16, dtype=jnp.int32)
+        params = m.init(jax.random.PRNGKey(0), x, perm, perm)
+        with pytest.raises(ValueError, match="perm_rev"):
+            m.apply(params, x, perm, None)

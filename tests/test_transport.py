@@ -296,3 +296,21 @@ class TestDopri5VsScipy:
             assert ours_e < 50 * max(sp_e, 1e-12), (ours_e, sp_e)
         # absolute sanity at the reference's default-ish tolerances
         assert loose_ours < 1e-3
+
+
+def test_dopri5_nan_drift_fails_loudly():
+    """A drift that turns NaN mid-trajectory must POISON the returned
+    trajectory from that point on (torchdiffeq raises there; inside jit the
+    loud analogue is NaN propagation) — not silently freeze at the last
+    good state and burn max_steps_per_segment drift evals per segment."""
+    from zigma_tpu.transport.integrators import odeint_dopri5
+
+    def drift(x, t):
+        bad = jnp.where(t[0] > 0.5, jnp.nan, 1.0)
+        return bad * jnp.ones_like(x)
+
+    x0 = jnp.zeros((2, 3))
+    traj = odeint_dopri5(drift, x0, 0.0, 1.0, 5)  # saves at 0,.25,.5,.75,1
+    assert bool(jnp.isfinite(traj[2]).all())      # clean up to t=0.5
+    assert not bool(jnp.isfinite(traj[3]).any())  # poisoned after
+    assert not bool(jnp.isfinite(traj[4]).any())

@@ -123,7 +123,12 @@ def main(argv=None):
         cfg.train.get("train_eps"), cfg.train.get("sample_eps"))
     kind, sample_fn = build_sample_fn(cfg, Sampler(transport))
 
-    num = int(cfg.get("num_fid_samples", 64))
+    # per-process share of the global sample quota (the reference divides
+    # the quota across ranks, sample_acc.py:101-111; without the division
+    # every process would generate the FULL quota and the rank-interleaved
+    # PNG indices would leave gaps)
+    total_samples = int(cfg.get("num_fid_samples", 64))
+    num = -(-total_samples // jax.process_count())
     out_dir = os.path.join(
         cfg.get("sample_dir", "samples"),
         f"{cfg.model.get('name', 'm')}_{kind}_"
@@ -207,6 +212,23 @@ def main(argv=None):
         # a resample of the infinite training stream
         real_gen = iter(wds_batches(cfg, model, split="validation"))
 
+    def next_real():
+        """Next validation batch, or None once the finite split is
+        exhausted (a quota larger than the split must degrade gracefully,
+        not crash the run with StopIteration mid-sampling)."""
+        nonlocal real_gen
+        if real_gen is None:
+            return None
+        try:
+            return next(real_gen)
+        except StopIteration:
+            logger.warning(
+                "validation split exhausted; remaining iterations run "
+                "without real batches (metrics freeze at the pairs seen, "
+                "text conditioning falls back to null features)")
+            real_gen = None
+            return None
+
     # latent decode for pixel-space metrics / PNGs (sample_acc.py:365)
     codec = None
     if cfg.get("decode_latents"):
@@ -216,6 +238,7 @@ def main(argv=None):
 
     made = 0
     it = 0
+    n_real_updates = 0
     while made < num:
         rng, kz, ks, ky = jax.random.split(rng, 4)
         z = jax.random.normal(kz, shape)
@@ -225,9 +248,12 @@ def main(argv=None):
                 ky, (bs,), 0, int(cfg.data["num_classes"]))
         elif cfg.data.get("has_text"):
             # text models need caption features; draw them from the real
-            # loader when available, else null (zero) conditioning
-            if real_gen is not None:
-                y = jnp.asarray(next(real_gen).get("y"))[:bs]
+            # loader when available, else null (zero) conditioning (also
+            # the fallback when a validation batch carries no caption key —
+            # dict_collation keeps only the key intersection of a batch)
+            batch = next_real()
+            if batch is not None and batch.get("y") is not None:
+                y = jnp.asarray(batch["y"])[:bs]
             else:
                 y = example_conditioning(cfg, bs)
         if kind == "ode":
@@ -240,8 +266,8 @@ def main(argv=None):
             # without one this degrades to the reference's quirk of
             # scoring gaussian noise (sample_acc.py passes the same z to
             # every sampler kind) — warn, the number is not a dataset NLL
-            if real_gen is not None:
-                batch = next(real_gen)
+            batch = next_real()
+            if batch is not None:
                 z = jnp.asarray(batch["x"])[:bs]
                 if latent_scale:
                     z = z * latent_scale
@@ -266,26 +292,32 @@ def main(argv=None):
             # tracking only)
             metric.update_fake(to_uint8_images(arr)
                                if codec is not None else arr)
-            if real_gen is not None:
-                real = np.asarray(next(real_gen)["x"])[:bs]
+            real_batch = next_real()
+            if real_batch is not None:
+                real = np.asarray(real_batch["x"])[:bs]
                 if codec is not None:
                     real = codec.decode(real)
                 metric.update_real(to_uint8_images(real)
                                    if codec is not None else real)
+                n_real_updates += 1
         if arr.ndim == 5:
             np.save(os.path.join(out_dir, f"video_{it}_{rank}.npy"), arr)
         else:
-            png = np.clip((arr + 1) / 2, 0, 1)
+            from zigma_tpu.metrics import to_uint8_images
+
+            # same [-1,1] -> uint8 convention as the metric updates, so
+            # saved PNGs and metric inputs are bit-consistent
+            png = to_uint8_images(arr)
             for i, img in enumerate(png):
                 idx = it * bs * world + rank * bs + i  # sample_acc.py:388-392
-                im = (np.transpose(img[:3], (1, 2, 0)) * 255).astype(np.uint8)
+                im = np.transpose(img[:3], (1, 2, 0))
                 Image.fromarray(im).save(
                     os.path.join(out_dir, f"{idx:06d}.png"))
         made += bs
         it += 1
         logger.info("generated %d/%d", made, num)
 
-    if metric is not None and real_gen is not None:
+    if metric is not None and n_real_updates > 0:
         scores = metric.compute()
         logger.info("metrics: %s", scores)
         import json

@@ -46,14 +46,23 @@ from .sample import build_sample_fn, load_params
 from .train import DEFAULT_CONFIG_DIR, build_model
 
 
+class OverloadedError(RuntimeError):
+    """Request queue full — mapped to HTTP 503 (backpressure)."""
+
+
 class _Request:
-    __slots__ = ("n", "seed", "y", "cfg_scale", "event", "result", "error")
+    __slots__ = ("n", "seed", "y", "cfg_scale", "event", "result", "error",
+                 "abandoned")
 
     def __init__(self, n, seed, y, cfg_scale):
         self.n, self.seed, self.y, self.cfg_scale = n, seed, y, cfg_scale
         self.event = threading.Event()
         self.result = None
         self.error = None
+        # set by the HTTP thread when its client timed out: the worker
+        # skips the request instead of spending a device step on a result
+        # nobody will read
+        self.abandoned = threading.Event()
 
 
 class GenerationWorker:
@@ -91,7 +100,8 @@ class GenerationWorker:
         self.is_latent = bool(cfg.get("is_latent", True)) and not isinstance(
             self.codec, IdentityCodec)
 
-        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self.queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=int(cfg.get("serve_queue_max", 64)))
         self._jit_generate = jax.jit(self._generate, static_argnums=(4,))
         self.compile_s = self._warmup()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -149,6 +159,8 @@ class GenerationWorker:
     def _loop(self):
         while True:
             req = self.queue.get()
+            if req.abandoned.is_set():
+                continue  # client already timed out
             try:
                 arr = np.asarray(self._jit_generate(
                     self.params, req.seed, req.y,
@@ -199,8 +211,16 @@ class GenerationWorker:
             raise ValueError(
                 "cfg_scale != 1 is meaningless for an unconditional model")
         req = _Request(n, int(seed), y, float(cfg_scale))
-        self.queue.put(req)
+        try:
+            # bounded queue = backpressure: under sustained overload the
+            # server answers 503 immediately instead of queueing work whose
+            # clients will all have timed out by the time it runs
+            self.queue.put(req, timeout=1.0)
+        except queue.Full:
+            raise OverloadedError(
+                f"request queue full ({self.queue.maxsize} pending)")
         if not req.event.wait(timeout):
+            req.abandoned.set()
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
@@ -265,6 +285,8 @@ def make_handler(worker: GenerationWorker, cfg):
                     "images": [_to_png_b64(a) for a in arr],
                     "ms": round((time.time() - t0) * 1e3, 1),
                 })
+            except OverloadedError as e:
+                self._send(503, {"error": str(e)})
             except (ValueError, TimeoutError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive

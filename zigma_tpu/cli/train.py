@@ -213,6 +213,8 @@ def main(argv=None):
     fid_every = int(cfg.data.get("sample_fid_every", 0) or 0)
     fid_n = int(cfg.data.get("sample_fid_n", 0) or 0)
 
+    fid_state = {}  # metric/codec built ONCE, reused (reset) per eval
+
     def fid_eval(state, rng):
         """FID-on-the-fly with the EMA weights (train_acc.py:507-646):
         sample, VAE-decode when a codec is available, convert to the uint8
@@ -221,28 +223,62 @@ def main(argv=None):
         from zigma_tpu.data import IdentityCodec, get_codec
         from zigma_tpu.metrics import MyMetric, to_uint8_images
 
-        try:
-            metric = MyMetric(choices=["fid"])
-        except RuntimeError as e:  # no Inception weights cached locally
-            from zigma_tpu.metrics import patch_statistics_extractor
+        if not fid_state:
+            codec = get_codec(cfg.get("vae_kind", "auto"))
+            in_pixels = not isinstance(codec, IdentityCodec)
+            # the extractor choice is keyed on IN_PIXELS, not on Inception
+            # availability alone: with cached Inception weights but no VAE,
+            # raw 4-channel float latents would crash the 3-channel uint8
+            # Inception contract — latents always take patch statistics
+            metric = None
+            if in_pixels:
+                try:
+                    metric = MyMetric(choices=["fid"])
+                except RuntimeError as e:  # no Inception weights cached
+                    logger.warning("Inception weights unavailable (%s); "
+                                   "falling back to patch statistics", e)
+            if metric is None:
+                from zigma_tpu.metrics import patch_statistics_extractor
 
-            logger.warning(
-                "Inception weights unavailable (%s); tracking weight-free "
-                "patch statistics instead (NOT comparable to published FID)",
-                e)
-            metric = MyMetric(choices=["fid"],
-                              extractor=patch_statistics_extractor())
-        codec = get_codec(cfg.get("vae_kind", "auto"))
-        in_pixels = not isinstance(codec, IdentityCodec)
+                logger.warning(
+                    "tracking weight-free patch statistics%s (NOT "
+                    "comparable to published FID)",
+                    "" if in_pixels else " on raw latents")
+                metric = MyMetric(choices=["fid"],
+                                  extractor=patch_statistics_extractor())
+            fid_state.update(metric=metric, codec=codec,
+                             in_pixels=in_pixels)
+        metric, codec = fid_state["metric"], fid_state["codec"]
+        in_pixels = fid_state["in_pixels"]
+        metric.reset()
 
         def feed(arr):
             arr = codec.decode(np.asarray(arr))
             return to_uint8_images(arr) if in_pixels else arr
 
+        # real side: a fresh finite pass over the VALIDATION split when one
+        # is configured — pulling from the live training iterator would
+        # silently steal batches from the optimizer AND score FID against
+        # the shuffled training stream (wds_batches' own documented rule)
+        if cfg.data.get("validation") and not cfg.data.get("synthetic"):
+            real_gen = iter(wds_batches(cfg, model, split="validation"))
+        else:
+            if "warned_train_reals" not in fid_state:
+                fid_state["warned_train_reals"] = True
+                logger.warning(
+                    "no validation split configured: FID real batches come "
+                    "from (and are consumed out of) the training stream")
+            real_gen = gen
+
         bs = int(cfg.data.get("sample_fid_bs", 4))
         done = 0
         while done < fid_n:
-            batch = next(gen)
+            try:
+                batch = next(real_gen)
+            except StopIteration:
+                logger.warning("validation split exhausted at %d/%d FID "
+                               "samples", done, fid_n)
+                break
             real = np.asarray(batch["x"])[:bs]
             rng, k = jax.random.split(rng)
             z = jax.random.normal(k, real.shape)
@@ -336,8 +372,12 @@ def main(argv=None):
                 mlog.log(step, **{f"eval/{k}": v for k, v in scores.items()})
                 if scores.get("fid", float("inf")) < float(
                         jax.device_get(state.best_fid)):
-                    state = state.replace(
-                        best_fid=jnp.asarray(scores["fid"], jnp.float32))
+                    # jnp.minimum ON the existing array keeps its (possibly
+                    # multi-process-replicated) sharding — a fresh host-local
+                    # jnp.asarray would put a single-device array into the
+                    # mesh-replicated state and break the next train step
+                    state = state.replace(best_fid=jnp.minimum(
+                        state.best_fid, jnp.float32(scores["fid"])))
             except RuntimeError as e:  # no feature extractor available
                 logger.warning("FID eval unavailable: %s", e)
                 fid_every = 0  # don't retry every interval

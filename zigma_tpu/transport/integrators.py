@@ -133,8 +133,13 @@ def odeint_dopri5(drift: Callable, x0, t0: float, t1: float, num_steps: int,
         x, t, dt = carry
 
         def cond(st):
-            _, ti, _, i = st
-            return (direction * (t_next - ti) > 1e-9) & (i < max_steps_per_segment)
+            _, ti, dti, i = st
+            # a NaN drift makes enorm NaN -> no step is ever accepted and
+            # the PI controller turns dti NaN on the first rejection; exit
+            # immediately instead of burning max_steps_per_segment * 7
+            # drift evals per remaining segment
+            return ((direction * (t_next - ti) > 1e-9)
+                    & (i < max_steps_per_segment) & jnp.isfinite(dti))
 
         def body(st):
             xi, ti, dti, i = st
@@ -152,7 +157,17 @@ def odeint_dopri5(drift: Callable, x0, t0: float, t1: float, num_steps: int,
 
         x, t, dt, _ = jax.lax.while_loop(
             cond, body, (x, t, dt, jnp.zeros((), jnp.int32)))
-        return (x, t, dt), x
+        # fail LOUDLY: if the step controller never reached the save point
+        # (NaN drift makes enorm NaN -> nothing is ever accepted -> the loop
+        # exits on max_steps_per_segment), poison the state with NaN instead
+        # of silently returning a trajectory frozen at the last good point
+        # (torchdiffeq raises in the equivalent situation; inside jit the
+        # loud analogue is NaN propagation, caught by the callers'
+        # finiteness checks)
+        reached = direction * (t_next - t) <= 1e-9
+        x = jax.tree.map(
+            lambda a: jnp.where(reached, a, jnp.full_like(a, jnp.nan)), x)
+        return (x, t_next, dt), x
 
     dt0 = (ts[-1] - ts[0]) / (4.0 * num_steps)
     (_, _, _), traj = jax.lax.scan(
