@@ -374,3 +374,50 @@ class TestPermuteTokens:
         params = m.init(jax.random.PRNGKey(0), x, perm, perm)
         with pytest.raises(ValueError, match="perm_rev"):
             m.apply(params, x, perm, None)
+
+
+class TestVideoTemporalGradients:
+    """Video temporal layers pair NON-inverse (perm, perm_rev) tables — the
+    reference's checkpoint-parity quirk (t_fwd paired with t_bwd,
+    ops/paths.py).  permute_tokens' bijection-aware VJP must therefore
+    derive the TRUE functional inverse (vjp_inverse) instead of trusting
+    the paired table.  Regression: gradients through every temporal layer
+    used to be silently frame-flipped while all forward/parity tests
+    passed."""
+
+    def test_video_grads_match_scatter_adjoint(self, monkeypatch):
+        m = ZigMa(in_channels=4, embed_dim=64, depth=4, img_dim=8,
+                  patch_size=2, scan_type="zzvideo_sst", video_frames=3,
+                  tpe=True, use_pe=2, scan_backend="ref")
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((2, 3, 4, 8, 8)), jnp.float32)
+        t = jnp.asarray([0.3, 0.7], jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x, t)
+        # knock every param off the DiT zero-init: at init the adaLN gate
+        # is 0, every mixer contribution is multiplied by 0, and the
+        # permutation-VJP error this test exists to catch is invisible
+        # (same degeneracy as test_reference_model_parity._perturb_all_params)
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+        params = jax.tree.unflatten(treedef, [
+            leaf + 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+            if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+            for leaf, k in zip(leaves, keys)])
+
+        w = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+        def loss(xx):
+            return jnp.sum(m.apply(params, xx, t) * w)
+
+        g_fast = jax.grad(loss)(x)
+
+        # ground truth: plain jnp.take, whose autodiff adjoint (scatter-add)
+        # is correct for ANY index set, inverse-paired or not
+        import zigma_tpu.models.mamba as mamba_mod
+        monkeypatch.setattr(
+            mamba_mod, "permute_tokens",
+            lambda xx, p, ip: jnp.take(xx, p, axis=1))
+        g_true = jax.grad(loss)(x)
+
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_true),
+                                   rtol=1e-5, atol=1e-5)

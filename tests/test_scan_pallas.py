@@ -308,3 +308,58 @@ def test_fwd_parity_deep_chunk_grid():
                                   delta_softplus=True)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                rtol=2e-3, atol=6e-4)
+
+
+def test_blocks_fwd_bwd_agree_and_mosaic_valid():
+    """The fwd (block_d=512) and bwd (block_d=256) kernels must resolve the
+    SAME sequence block BL — the bwd consumes the fwd's (B, n_chunks, N, D)
+    carries, so a BL mismatch silently misindexes every chunk-start carry —
+    and every blocking must be Mosaic-valid (last block dim a 128-multiple
+    or the full D; BL an 8-sublane multiple or the full L).  Regression for
+    a real divergence: e.g. fp32 D=384 N=192 used to give fwd BL=128/BD=96
+    (lane-invalid) vs bwd BL=64/BD=128."""
+    from zigma_tpu.ops.scan_pallas import _blocks
+
+    checked = 0
+    for D in range(32, 1601, 32):
+        for N in (16, 64, 128, 192, 256, 320, 384):
+            for itemsize in (2, 4):
+                for L in (128, 1024, 4096):
+                    try:
+                        f = _blocks(L, D, N, itemsize, 128, 512, 4)
+                        b = _blocks(L, D, N, itemsize, 128, 256, 4)
+                    except ValueError:
+                        continue
+                    checked += 1
+                    assert f[0] == b[0], (
+                        f"fwd/bwd BL mismatch at D={D} N={N} "
+                        f"itemsize={itemsize} L={L}: {f} vs {b}")
+                    for BL, BD, nc in (f, b):
+                        assert BD % 128 == 0 or BD == D, (D, N, itemsize, L, BD)
+                        assert BL % 8 == 0 or BL == L, (D, N, itemsize, L, BL)
+                        assert D % BD == 0 and L % BL == 0 and nc == L // BL
+    assert checked > 1000  # the sweep actually covered the envelope
+
+
+def test_grad_parity_fwd_bwd_blocking_regression():
+    """Gradients at a shape where fwd and bwd used to resolve DIFFERENT
+    blockings (D=384, N=192, fp32): the bwd misread the fwd's carries and
+    every gradient was silently corrupt in interpret mode (and Mosaic
+    rejected the lane-invalid fwd BD=96 on hardware)."""
+    u, delta, A, B, C, _ = _make_inputs(jax.random.PRNGKey(21),
+                                        batch=1, L=128, D=384, N=192)
+
+    def loss(fn):
+        def f(u, delta, A, B, C):
+            return jnp.sum(jnp.cos(fn(u, delta, A, B, C,
+                                      delta_softplus=True)))
+        return f
+
+    g_pal = jax.grad(loss(selective_scan_pallas), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    g_ref = jax.grad(loss(selective_scan_ref), argnums=(0, 1, 2, 3, 4))(
+        u, delta, A, B, C)
+    for n, gp, gr in zip(["du", "ddelta", "dA", "dB", "dC"], g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"grad mismatch: {n}")

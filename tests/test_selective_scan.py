@@ -431,3 +431,36 @@ def test_mismatched_group_counts_raise():
     C = jnp.asarray(rng.standard_normal((bsz, L, 4, n)), jnp.float32)
     with pytest.raises(ValueError, match="n_groups"):
         selective_scan(u, delta, A, B, C, delta_softplus=True)
+
+
+def test_state_update_matches_scan_step_complex():
+    """Complex-A decode must follow the same S4D-complex output convention
+    (y = 2 * Re(<C, x>)) as the parallel-scan backends, so prefill and
+    decode agree token-for-token.  Regression: the state update used to
+    return Re(<C, x>) via a silent astype (dropping the 2x and imag)."""
+    rng = np.random.default_rng(31)
+    bsz, L, d, n = 2, 7, 8, 4
+    u = jnp.asarray(rng.standard_normal((bsz, L, d)), jnp.float32)
+    delta = jnp.asarray(0.4 * rng.standard_normal((bsz, L, d)), jnp.float32)
+    A = (-jnp.exp(jnp.asarray(rng.standard_normal((d, n)), jnp.float32))
+         + 1j * jnp.asarray(rng.standard_normal((d, n)), jnp.float32))
+    B = jnp.asarray(rng.standard_normal((bsz, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((bsz, L, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((bsz, L, d)), jnp.float32)
+    db = jnp.asarray(0.1 * rng.standard_normal((d,)), jnp.float32)
+
+    out_full = selective_scan_ref(u, delta, A, B, C, D, z, db,
+                                  delta_softplus=True)
+    state = jnp.zeros((bsz, d, n), jnp.complex64)
+    outs = []
+    for t in range(L):
+        y, state = selective_state_update(
+            state, u[:, t], delta[:, t], A, B[:, t], C[:, t], D, z[:, t],
+            dt_bias=db, dt_softplus=True,
+        )
+        outs.append(y)
+    got = jnp.stack(outs, axis=1)
+    assert not jnp.iscomplexobj(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-4)

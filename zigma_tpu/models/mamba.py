@@ -39,6 +39,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from jax.ad_checkpoint import checkpoint_name
 
@@ -56,8 +57,12 @@ def permute_tokens(x, perm, inv_perm):
     the adjoint is simply the inverse gather: measured 0.068 vs 0.136 ms
     per fwd+bwd at the flagship gather shape ((16, 1024, 768) bf16, v5e),
     and bit-identical (every output row receives exactly one input row, so
-    no accumulation is involved in either form).  ``inv_perm`` must be the
-    inverse permutation of ``perm`` (the model's perm/perm_rev pairs).
+    no accumulation is involved in either form).  ``inv_perm`` MUST be the
+    functional inverse of ``perm`` (argsort(perm)) — NOT blindly the
+    model's paired perm_rev: video temporal layers deliberately pair
+    non-inverse (perm, perm_rev) for checkpoint parity (ops/paths.py), and
+    passing that pair here would silently flip every temporal gradient.
+    Use ``vjp_inverse`` to derive the right argument.
     """
     return jnp.take(x, perm, axis=1)
 
@@ -72,6 +77,24 @@ def _permute_tokens_bwd(res, g):
 
 
 permute_tokens.defvjp(_permute_tokens_fwd, _permute_tokens_bwd)
+
+
+def vjp_inverse(perm, paired_rev, trust_pair: bool):
+    """The functional inverse of ``perm`` for permute_tokens' VJP argument.
+
+    Image scan tables always come as mutual-inverse (perm, perm_rev) pairs,
+    so the paired table IS the inverse (``trust_pair=True``, zero cost).
+    Video temporal layers pair t_fwd with t_bwd — NOT inverses (a
+    checkpoint-parity quirk, ops/paths.py) — so the inverse is derived:
+    via numpy argsort for the static per-layer tables (free at trace time)
+    or jnp.argsort for traced rows (scan-over-layers).
+    """
+    if trust_pair:
+        return paired_rev
+    if isinstance(perm, np.ndarray):
+        return np.argsort(perm)
+    return jnp.argsort(jnp.asarray(perm))
+
 
 __all__ = ["Mamba", "MambaCache"]
 
@@ -372,8 +395,9 @@ class Mamba(nn.Module):
                              "together (the scan paths always come as "
                              "(perm, perm_rev) pairs)")
         if perm is not None:
-            x = permute_tokens(x, jnp.asarray(perm, jnp.int32),
-                               jnp.asarray(perm_rev, jnp.int32))
+            x = permute_tokens(
+                x, jnp.asarray(perm, jnp.int32),
+                jnp.asarray(vjp_inverse(perm, perm_rev, not video), jnp.int32))
 
         xz = self.in_proj(x)
         x_in, z = jnp.split(xz, 2, axis=-1)
@@ -395,8 +419,9 @@ class Mamba(nn.Module):
         out = self.out_proj(y)
 
         if perm_rev is not None:
-            out = permute_tokens(out, jnp.asarray(perm_rev, jnp.int32),
-                                 jnp.asarray(perm, jnp.int32))
+            out = permute_tokens(
+                out, jnp.asarray(perm_rev, jnp.int32),
+                jnp.asarray(vjp_inverse(perm_rev, perm, not video), jnp.int32))
 
         if video:
             T = self.video_frames

@@ -40,7 +40,7 @@ from zigma_tpu.models.embedders import (
 from zigma_tpu.models.inits import rescaled_linear_init, torch_linear_init
 from zigma_tpu.models.mamba import Mamba
 from zigma_tpu.ops.norms import add_norm, layer_norm
-from zigma_tpu.ops.paths import build_layer_paths, reverse_permutation, zigzag_path
+from zigma_tpu.ops.paths import build_layer_paths, parallel_scan_perms
 
 __all__ = ["ZigMa", "ZigMaBlock", "CrossAttention", "FinalLayer", "zigma_model",
            "ZIGMA_PRESETS"]
@@ -67,6 +67,12 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
+        if (self.context_dim is not None
+                and context.shape[-1] != self.context_dim):
+            raise ValueError(
+                f"CrossAttention got context with feature dim "
+                f"{context.shape[-1]}, expected context_dim="
+                f"{self.context_dim}")
         inner = self.heads * self.dim_head
         ti = torch_linear_init()
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -315,11 +321,8 @@ class ZigMa(nn.Module):
         paths, paths_rev, st_order = self._layer_paths()
         parallel_perms = None
         if self.scan_type.startswith("parallelN"):
-            patch_side = self.img_dim // self.patch_size
-            base = zigzag_path(patch_side)
-            n = int(self.scan_type[len("parallelN"):])
-            parallel_perms = tuple(
-                (base[i % 8], reverse_permutation(base[i % 8])) for i in range(n))
+            parallel_perms = parallel_scan_perms(
+                self.scan_type, self.img_dim // self.patch_size)
 
         scan_layers = self.effective_scan_layers
 

@@ -221,8 +221,9 @@ def build_layer_paths(
 
     if scan_type.startswith("parallelN"):
         # every layer runs N parallel branches, each with ITS OWN path
-        # (handled inside the mixer via parallel_perms) — no additional
-        # per-layer outer permutation
+        # (handled inside the mixer via parallel_perms, built by
+        # parallel_scan_perms below) — no additional per-layer outer
+        # permutation
         return [None] * depth, [None] * depth, None
 
     if scan_type.startswith(("zigzagN", "hilbertN", "randomN")):
@@ -272,3 +273,17 @@ def build_layer_paths(
         return paths, paths_rev, st_order
 
     raise ValueError(f"unknown scan_type: {scan_type!r}")
+
+
+def parallel_scan_perms(scan_type: str, patch_side: int) -> tuple:
+    """(perm, perm_rev) pairs for a ``parallelN{k}`` mixer's k simultaneous
+    branches — branch i scans zigzag path ``i mod 8``.
+
+    The single construction point for parallelN path knowledge (paired with
+    build_layer_paths' per-layer None tables above): the model passes these
+    to ``Mamba(parallel_perms=...)``.
+    """
+    k = int(scan_type[len("parallelN"):])
+    base = zigzag_path(patch_side)
+    return tuple((base[i % 8], reverse_permutation(base[i % 8]))
+                 for i in range(k))

@@ -216,45 +216,80 @@ def _vmem_limit(scratch_bytes_total, block_bytes_total):
 _DIM_SEMANTICS = ("arbitrary", "arbitrary", "arbitrary")
 
 
+# the bwd kernel's default d-block size; also the CANONICAL cap used to
+# resolve BL (see _blocks) so fwd and bwd always agree on n_chunks
+_CANONICAL_BLOCK_D = 256
+
+
+def _bd_chain(D: int, cap: int) -> list:
+    """Mosaic-valid d-block sizes for a (.., BD)-last block over a D-wide
+    axis, descending, capped at ``cap``.
+
+    Mosaic requires the last block dim to be a multiple of 128 lanes OR
+    equal to the full array dim, and the grid needs BD to divide D — so the
+    candidates are {divisors of D that are 128-multiples} plus D itself.
+    If nothing fits under the cap (e.g. D=416 has no 128-multiple divisor),
+    the smallest valid size is used regardless of the cap.
+    """
+    valid = sorted({d for d in range(128, D, 128) if D % d == 0} | {D},
+                   reverse=True)
+    chain = [d for d in valid if d <= cap]
+    return chain or [valid[-1]]
+
+
 def _blocks(L, D, N, itemsize, block_l, block_d, group):
     """Pick (BL, BD) so the kernel's VMEM scratch fits the budget.
 
     The scratch model is the BACKWARD kernel's (3 chunk-dtype (BL, N, BD)
     buffers + 1 fp32, plus the full-width per-d-block carry/partial slots)
-    — the tighter of the two — for BOTH kernels, so fwd and bwd agree on
-    BL: the bwd consumes
-    the fwd's (B, n_chunks, N, D) carries and n_chunks = L/BL must match.
-    When the flagship-tuned blocks overflow (large N), BD shrinks first (to
-    one 128-lane tile), then BL (to the loop group) — extending the envelope
-    to the reference's full d_state <= 256 range instead of letting Mosaic
-    fail on an oversized allocation.
+    — the tighter of the two — for BOTH kernels.  BL is resolved against
+    the CANONICAL d-block cap (_CANONICAL_BLOCK_D, the bwd default) no
+    matter which ``block_d`` the caller tuned, so fwd and bwd ALWAYS agree
+    on BL: the bwd consumes the fwd's (B, n_chunks, N, D) carries and
+    n_chunks = L/BL is a shared contract (a fwd/bwd BL mismatch silently
+    misindexes every chunk-start carry).  When the flagship-tuned blocks
+    overflow (large N), BD shrinks first (through the Mosaic-valid sizes
+    from _bd_chain), then BL (floor: one 8-sublane tile) — extending the
+    envelope to the reference's full d_state <= 256 range instead of
+    letting Mosaic fail on an oversized or lane-misaligned allocation.
     """
     BL = min(block_l, L)
-    BD = min(block_d, D)
-    while D % BD:
-        BD //= 2
     if L % BL or BL % group:
         raise ValueError(
-            f"pallas scan needs block_l ({BL}) to divide L ({L}) and the "
-            f"loop group ({group}) to divide block_l; pad L to a multiple "
-            f"of {group} or use backend='chunked'")
+            f"pallas scan needs its sequence block ({BL}) to divide L ({L}); "
+            f"pad L to a multiple of {BL}, pass a block_l that divides L "
+            f"(and is a multiple of the loop group {group}), or use "
+            f"backend='chunked'")
 
     def scratch_bytes(bl, bd):
         # 3 chunk-dtype + 1 fp32 (BL, N, BD) buffers, plus the d-block-
         # innermost carry scratch: gcarry + dA partials (2 * nD * N * BD * 4
-        # = 8*N*D, BD-independent) and the dD partial row (4*D)
+        # = 8*N*D, BD-independent) and the dD partial row (4*D), plus the
+        # double-buffered lane-PADDED BC stream: the packed (BL, N, 2)
+        # block physically occupies (BL, N, 128) lanes under TPU tiling —
+        # negligible at the flagship N=16 but the dominant stream at
+        # N >= 128 (unmodeled, it VMEM-OOMs the bwd at e.g. D=384 N=192)
         return (bl * N * bd * (3 * itemsize + 4)
-                + 8 * N * D + 4 * D)
+                + 8 * N * D + 4 * D
+                + 2 * bl * N * 128 * itemsize)
 
-    while scratch_bytes(BL, BD) > _VMEM_SCRATCH_BUDGET and BD > 128:
-        BD //= 2  # halving a divisor of D keeps it a divisor
-    while (scratch_bytes(BL, BD) > _VMEM_SCRATCH_BUDGET and BL > group
+    # canonical resolution: walk the canonical BD chain, then shrink BL
+    cchain = _bd_chain(D, _CANONICAL_BLOCK_D)
+    BDc = next((d for d in cchain
+                if scratch_bytes(BL, d) <= _VMEM_SCRATCH_BUDGET), cchain[-1])
+    while (scratch_bytes(BL, BDc) > _VMEM_SCRATCH_BUDGET
+           and BL > max(8, group)
            and BL % 2 == 0 and (BL // 2) % group == 0):
-        BL //= 2
-    if scratch_bytes(BL, BD) > _VMEM_SCRATCH_BUDGET:
+        BL //= 2  # stays a multiple of 8 sublanes (Mosaic) and of group
+    if scratch_bytes(BL, BDc) > _VMEM_SCRATCH_BUDGET:
         raise ValueError(
-            f"pallas scan state (N={N}, d_block={BD}) does not fit the VMEM "
-            f"scratch budget at any block size; use backend='chunked'")
+            f"pallas scan state (N={N}, d_block={BDc}) does not fit the "
+            f"VMEM scratch budget at any block size; use backend='chunked'")
+    # this kernel's BD: the largest Mosaic-valid size under its own cap
+    # whose scratch fits at the agreed BL (the canonical size always fits,
+    # and both chains share their smallest element, so the fallback is safe)
+    BD = next((d for d in _bd_chain(D, block_d)
+               if scratch_bytes(BL, d) <= _VMEM_SCRATCH_BUDGET), BDc)
     return BL, BD, L // BL
 
 
@@ -319,7 +354,7 @@ def scan_core_fwd_pallas(u, delta, delta_bias, A, Bv, Cv, x0=None,
     scratch_total = n_dblocks * N * BD * 4 + 3 * BL * N * BD * cdtype_size
     block_total = (3 * BL * BD * cdtype_size        # u, delta, y
                    + BLz * BD * cdtype_size         # z
-                   + BL * N * 2 * bc_sz             # BC
+                   + BL * N * 128 * bc_sz           # BC (lane-padded to 128)
                    + 3 * N * BD * 4                 # At, x0, carry+xlast
                    + N * BD * 4 + 3 * BD * 4)
     vmem_limit = _vmem_limit(scratch_total, block_total)
@@ -546,7 +581,7 @@ def scan_core_bwd_pallas(u, delta, delta_bias, A, Bv, Cv, carries, gy,
                      + BL * N * BD * (3 * cdtype_size + 4))
     block_total = (5 * BL * BD * cdtype_size        # u, delta, gy, du, dd
                    + 2 * BLz * BD * cdtype_size     # z, dz
-                   + BL * N * 2 * bc_sz             # BC
+                   + BL * N * 128 * bc_sz           # BC (lane-padded to 128)
                    + 2 * BL * N * 4                 # dBp, dCp
                    + 5 * N * BD * 4                 # At, carries, g_last, dAp, dx0
                    + 4 * BD * 4)                    # bias, Dskip, dDp (+slack)

@@ -841,6 +841,12 @@ def selective_state_update(
     dBx = (dtf * _f32(x))[..., None] * _f32(B)[:, None, :]
     new_state = _f32(state) * dA + dBx
     y = jnp.einsum("bdn,bn->bd", new_state, _f32(C))
+    if jnp.iscomplexobj(y):
+        # S4D-complex output convention, matching every scan backend
+        # (selective_scan_interface.py:143-145): y = 2 * Re(<C, x>) — so
+        # prefill (parallel scan) and decode (this step) agree token-for-
+        # token on complex-A models
+        y = 2.0 * y.real
     if D is not None:
         y = y + _f32(D) * _f32(x)
     if z is not None:
