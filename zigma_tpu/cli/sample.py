@@ -287,13 +287,17 @@ def main(argv=None):
         if metric is not None:
             from zigma_tpu.metrics import to_uint8_images
 
-            # pixel space -> the reference's uint8 metric contract
-            # (sample_acc.py:384-385); raw latents stay float (patch-stats
-            # tracking only)
-            metric.update_fake(to_uint8_images(arr)
-                               if codec is not None else arr)
+            # PAIRED updates only: once the validation split exhausts, stop
+            # feeding update_fake too (ADVICE r3 — an unpaired metric would
+            # compare differently-sized sample sets); sampling continues,
+            # the metric freezes at the pairs seen
             real_batch = next_real()
             if real_batch is not None:
+                # pixel space -> the reference's uint8 metric contract
+                # (sample_acc.py:384-385); raw latents stay float
+                # (patch-stats tracking only)
+                metric.update_fake(to_uint8_images(arr)
+                                   if codec is not None else arr)
                 real = np.asarray(real_batch["x"])[:bs]
                 if codec is not None:
                     real = codec.decode(real)

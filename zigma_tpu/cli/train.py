@@ -289,6 +289,12 @@ def main(argv=None):
             metric.update_real(feed(real))
             metric.update_fake(feed(np.asarray(jax.device_get(fake))))
             done += real.shape[0]
+        if done == 0:
+            # empty validation split: compute() on zero statistics is
+            # undefined (ADVICE r3) — skip instead of crashing the loop
+            logger.warning("FID eval skipped: validation split yielded "
+                           "no batches")
+            return {}
         return metric.compute()
 
     # Preemption-safe shutdown (beyond parity — the reference's only

@@ -283,9 +283,11 @@ class Sampler:
         (the reference uses torch.autograd.grad,
         transport/transport.py:419-478).  Probe semantics follow the
         reference: its ``_likelihood_drift`` draws a FRESH probe at every
-        drift evaluation.  On the fixed-grid euler path we do the same —
-        one probe per step, drawn upfront (or injected via ``probes``,
-        shape (num_steps-1, *x.shape) of ±1, which reproduces the
+        drift evaluation.  On the fixed-grid paths we do the same — one
+        probe per DRIFT EVALUATION, drawn upfront (or injected via
+        ``probes``: ±1 array of shape ``(n_evals*(num_steps-1), *x.shape)``
+        where ``n_evals`` is 1 for euler and 2 for heun — the leading axis
+        counts drift evaluations, not steps; this reproduces the
         reference's ``th.randint`` sequence for the executed-reference
         parity tests).  The adaptive dopri5 path keeps a single probe for
         the whole trajectory: per-evaluation redraws inside an adaptive
@@ -324,6 +326,13 @@ class Sampler:
                     probes = (jax.random.randint(
                         rng, (n_evals * (num_steps - 1),) + x.shape, 0, 2)
                         .astype(x.dtype) * 2 - 1)
+                want = (n_evals * (num_steps - 1),) + x.shape
+                if tuple(probes.shape) != want:
+                    raise ValueError(
+                        f"probes shape {tuple(probes.shape)} != {want}: "
+                        f"{sampling_method} performs n_evals={n_evals} "
+                        f"drift evaluations per step x {num_steps - 1} "
+                        f"steps — the leading axis counts evaluations")
                 probes = jnp.reshape(
                     probes, (num_steps - 1, n_evals) + x.shape)
                 ts = jnp.linspace(t0, t1, num_steps)

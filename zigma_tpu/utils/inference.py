@@ -54,6 +54,14 @@ _KEEP_LEAF = frozenset({"A_log", "D", "dt_proj_bias",
 # (norm_weight, norm_bias, norm_f_weight, norm_f_bias, norm_msa_*).
 _KEEP_LEAF_PREFIX = ("pos_embed", "norm")
 
+# leaf names a norm SUBMODULE may own (flax LayerNorm/RMSNorm use
+# scale/bias; torch-style converters use weight/bias).  The norm-prefixed
+# path-component keep rule below applies only to these — any other leaf
+# under a norm-prefixed module raises instead of being silently kept
+# (a module merely NAMED "norm_mlp" holding GEMM kernels must not skip
+# the inference cast).
+_NORM_MODULE_LEAVES = frozenset({"scale", "bias", "weight"})
+
 # compute-dtype scan-branch leaves by exact name.
 _CAST_LEAF = frozenset({"conv1d_weight", "conv1d_bias",
                         "x_proj_kernel", "dt_proj_kernel"})
@@ -68,14 +76,25 @@ def _classify(path_names, leaf_name):
     """-> "keep" | "cast"; raises on an unrecognized fp32 leaf."""
     if any(n in _KEEP_MODULES for n in path_names):
         return "keep"
-    # the keep-name rules apply to EVERY path component, not just the leaf:
-    # a norm implemented as a submodule (e.g. ".../norm/bias") must keep its
-    # generically-named leaves fp32 — otherwise the generic kernel/bias cast
-    # rule below would silently violate the fp32 norm contract
-    if any(n in _KEEP_LEAF
-           or any(n.startswith(p) for p in _KEEP_LEAF_PREFIX)
-           for n in path_names):
+    # keep rules by LEAF name (A_log, D, pos_embed*, norm_weight, ...)
+    if (leaf_name in _KEEP_LEAF
+            or any(leaf_name.startswith(p) for p in _KEEP_LEAF_PREFIX)):
         return "keep"
+    # a norm implemented as a SUBMODULE (e.g. ".../norm/bias") must keep
+    # its generically-named leaves fp32 — otherwise the generic
+    # kernel/bias cast rule below would silently violate the fp32 norm
+    # contract.  This path-component rule is restricted to norm-prefixed
+    # modules holding norm-style leaves; anything else under such a
+    # module fails closed (ADVICE r3: a module merely named "norm_mlp"
+    # must not silently skip the cast for its GEMM weights).
+    if any(n.startswith("norm") for n in path_names[:-1]):
+        if leaf_name in _NORM_MODULE_LEAVES:
+            return "keep"
+        raise ValueError(
+            f"cast_params_for_inference: leaf {'/'.join(path_names)!r} "
+            f"sits under a norm-prefixed module but is not a norm-style "
+            f"leaf ({sorted(_NORM_MODULE_LEAVES)}) — classify it "
+            f"explicitly in the rule table")
     if leaf_name in _CAST_LEAF or leaf_name in _CAST_GENERIC:
         return "cast"
     raise ValueError(
