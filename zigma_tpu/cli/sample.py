@@ -183,25 +183,25 @@ def main(argv=None):
     real_gen = None
     metric_choices = cfg.get("metrics") or []
     if metric_choices:
-        from zigma_tpu.metrics import MyMetric
+        from zigma_tpu.metrics import build_metric_suite
 
-        try:
-            if cfg.get("decode_latents"):
-                # pixel space: canonical per-choice feature nets
-                metric = MyMetric(choices=list(metric_choices))
-            else:
-                # raw latents violate the uint8/[0,255] contract of the
-                # pretrained nets — track weight-free patch statistics
-                # instead (NOT comparable to published FID)
-                from zigma_tpu.metrics import patch_statistics_extractor
-
-                logger.warning(
-                    "metrics without decode_latents run on raw latents "
-                    "with the weight-free patch-stats extractor")
-                metric = MyMetric(choices=list(metric_choices),
-                                  extractor=patch_statistics_extractor())
-        except RuntimeError as e:  # no feature nets cached locally
-            logger.warning("metrics unavailable: %s", e)
+        # fvd routes to VideoMetric for video runs (the reference builds
+        # it in sample_acc.py:82-90); every choice degrades independently
+        # — canonical nets in pixel space, weight-free patch statistics
+        # for the fid family / video patch stats for fvd otherwise
+        # (metrics/menu.py documents the full policy)
+        suite = build_metric_suite(
+            choices=list(metric_choices),
+            video=cfg.data.get("video_frames", 0) > 0,
+            in_pixels=bool(cfg.get("decode_latents")), logger=logger)
+        if suite.empty:
+            logger.warning("metrics unavailable: every requested choice "
+                           "was dropped (%s)", list(suite.dropped))
+        else:
+            logger.info("metrics: %s%s", suite.choices,
+                        f" (dropped: {list(suite.dropped)})"
+                        if suite.dropped else "")
+            metric = suite
     # real batches: consumed by metrics AND by likelihood mode (which scores
     # data, not noise — don't gate the loader on metrics being configured)
     if ((metric is not None or kind == "likelihood")
@@ -306,6 +306,16 @@ def main(argv=None):
                 n_real_updates += 1
         if arr.ndim == 5:
             np.save(os.path.join(out_dir, f"video_{it}_{rank}.npy"), arr)
+            # per-sample animated artifact next to the raw dump (the
+            # reference logs wandb.Video, sample_acc.py:394-446 +
+            # wandb_utils.py:91-113)
+            from zigma_tpu.utils.logging_utils import write_video_grid
+
+            for i in range(arr.shape[0]):
+                idx = it * bs * world + rank * bs + i
+                write_video_grid(
+                    arr[i:i + 1, :, :3],
+                    os.path.join(out_dir, f"{idx:06d}.gif"))
         else:
             from zigma_tpu.metrics import to_uint8_images
 

@@ -41,6 +41,7 @@ from zigma_tpu.utils.logging_utils import (
     MetricLogger,
     array_to_image_grid,
     create_logger,
+    write_video_grid,
 )
 
 DEFAULT_CONFIG_DIR = os.path.join(
@@ -198,7 +199,19 @@ def main(argv=None):
                                 ema_decay=float(cfg.get("ema_rate", 0.9999)))
 
     sampler = Sampler(transport)
-    _vis = sampler.sample_ode(sampling_method="euler", num_steps=50)
+    # in-training sampling (vis + eval-on-the-fly) honors the ode config
+    # group, euler-50 when unset.  NOTE: the reference's own in-training
+    # eval ignores its ode group — train_acc.py:531 calls sample_ode()
+    # with the dopri5 defaults; applying the config is the evidently
+    # intended behavior (and remains overridable with ode.* keys).
+    ode_cfg = cfg.get("ode") or {}
+    vis_method = ode_cfg.get("sampling_method", "euler")
+    vis_steps = int(ode_cfg.get("num_sampling_steps", 50))
+    _vis = sampler.sample_ode(
+        sampling_method=vis_method, num_steps=vis_steps,
+        atol=float(ode_cfg.get("atol", 1e-6)),
+        rtol=float(ode_cfg.get("rtol", 1e-3)))
+    logger.info("in-training sampler: %s-%d", vis_method, vis_steps)
 
     # jit with ema_params as an ARGUMENT (closing over params embeds them
     # as HLO constants: huge compile payloads + recompile per new weights)
@@ -216,44 +229,53 @@ def main(argv=None):
     fid_state = {}  # metric/codec built ONCE, reused (reset) per eval
 
     def fid_eval(state, rng):
-        """FID-on-the-fly with the EMA weights (train_acc.py:507-646):
+        """Eval-on-the-fly with the EMA weights (train_acc.py:507-646):
         sample, VAE-decode when a codec is available, convert to the uint8
-        metric contract.  Degrades gracefully (identity codec / patch-stats
-        latent tracking) when weights are absent."""
+        metric contract, update the reference's FULL in-training menu —
+        fid/is/kid/prdc/sfid/fdd for images, fid+fvd for video
+        (train_acc.py:398-405).  Each choice degrades independently
+        (metrics/menu.py): fid-family falls to weight-free patch stats,
+        net-defined choices drop with a warning."""
         from zigma_tpu.data import IdentityCodec, get_codec
-        from zigma_tpu.metrics import MyMetric, to_uint8_images
+        from zigma_tpu.metrics import build_metric_suite, to_uint8_images
 
         if not fid_state:
             codec = get_codec(cfg.get("vae_kind", "auto"))
+            # the degradation is keyed on IN_PIXELS, not on weight
+            # availability alone: with cached Inception weights but no
+            # VAE, raw 4-channel float latents would crash the 3-channel
+            # uint8 net contracts — latents always take patch statistics
             in_pixels = not isinstance(codec, IdentityCodec)
-            # the extractor choice is keyed on IN_PIXELS, not on Inception
-            # availability alone: with cached Inception weights but no VAE,
-            # raw 4-channel float latents would crash the 3-channel uint8
-            # Inception contract — latents always take patch statistics
-            metric = None
-            if in_pixels:
-                try:
-                    metric = MyMetric(choices=["fid"])
-                except RuntimeError as e:  # no Inception weights cached
-                    logger.warning("Inception weights unavailable (%s); "
-                                   "falling back to patch statistics", e)
-            if metric is None:
-                from zigma_tpu.metrics import patch_statistics_extractor
-
-                logger.warning(
-                    "tracking weight-free patch statistics%s (NOT "
-                    "comparable to published FID)",
-                    "" if in_pixels else " on raw latents")
-                metric = MyMetric(choices=["fid"],
-                                  extractor=patch_statistics_extractor())
-            fid_state.update(metric=metric, codec=codec,
+            suite = build_metric_suite(
+                choices=(cfg.data.get("eval_metrics")
+                         or cfg.get("eval_metrics")),
+                video=cfg.data.get("video_frames", 0) > 0,
+                in_pixels=in_pixels, logger=logger)
+            if suite.empty:
+                raise RuntimeError(
+                    "no evaluation metric survived degradation "
+                    f"(requested {cfg.data.get('eval_metrics')}, "
+                    f"dropped {suite.dropped})")
+            logger.info("eval metrics: %s%s", suite.choices,
+                        f" (dropped: {list(suite.dropped)})"
+                        if suite.dropped else "")
+            fid_state.update(metric=suite, codec=codec,
                              in_pixels=in_pixels)
         metric, codec = fid_state["metric"], fid_state["codec"]
         in_pixels = fid_state["in_pixels"]
         metric.reset()
 
         def feed(arr):
-            arr = codec.decode(np.asarray(arr))
+            arr = np.asarray(arr)
+            if arr.ndim == 5:
+                # frame-folded VAE decode: the reference decodes video
+                # latents frame-wise (train_acc.py:345,365) and its metric
+                # facade refolds (b t) for FVD (my_metrics.py:58-69)
+                B, T = arr.shape[:2]
+                dec = codec.decode(arr.reshape((-1,) + arr.shape[2:]))
+                arr = dec.reshape((B, T) + dec.shape[1:])
+            else:
+                arr = codec.decode(arr)
             return to_uint8_images(arr) if in_pixels else arr
 
         # real side: a fresh finite pass over the VALIDATION split when one
@@ -361,12 +383,17 @@ def main(argv=None):
                     from PIL import Image
 
                     arr = np.asarray(jax.device_get(samples))
-                    if arr.ndim == 5:  # video: first frame
-                        arr = arr[:, 0]
-                    grid = array_to_image_grid(arr[:, :3])
                     os.makedirs(os.path.join(run_dir, "vis"), exist_ok=True)
-                    Image.fromarray(grid).save(
-                        os.path.join(run_dir, "vis", f"{step:07d}.png"))
+                    if arr.ndim == 5:  # video: animated grid, every frame
+                        # (the reference logs wandb.Video grids,
+                        # train_acc.py:608-631)
+                        write_video_grid(
+                            arr[:, :, :3],
+                            os.path.join(run_dir, "vis", f"{step:07d}.gif"))
+                    else:
+                        grid = array_to_image_grid(arr[:, :3])
+                        Image.fromarray(grid).save(
+                            os.path.join(run_dir, "vis", f"{step:07d}.png"))
             except Exception as e:  # train must survive sampler blowups
                 logger.warning("in-training sampling failed: %s", e)
 

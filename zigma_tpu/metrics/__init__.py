@@ -6,8 +6,10 @@ from zigma_tpu.metrics.features import (
     get_extractor,
     patch_statistics_extractor,
     register_extractor,
+    video_patch_statistics_extractor,
 )
 from zigma_tpu.metrics.facade import MyMetric, VideoMetric, to_uint8_images
+from zigma_tpu.metrics.menu import MetricSuite, build_metric_suite
 from zigma_tpu.metrics import dinov2_jax, i3d_jax, inception_jax, lpips_jax
 from zigma_tpu.metrics.lpips_jax import lpips, lpips_video
 
@@ -24,8 +26,11 @@ __all__ = [
     "get_extractor",
     "patch_statistics_extractor",
     "register_extractor",
+    "video_patch_statistics_extractor",
     "MyMetric",
     "VideoMetric",
+    "MetricSuite",
+    "build_metric_suite",
     "to_uint8_images",
     "inception_jax",
     "i3d_jax",

@@ -84,6 +84,12 @@ def prdc(real_feats, fake_feats, nearest_k: int = 5):
     """
     real = np.asarray(real_feats, np.float64)
     fake = np.asarray(fake_feats, np.float64)
+    n = min(real.shape[0], fake.shape[0])
+    if n < 2:
+        raise ValueError(f"prdc needs >= 2 real and fake samples, got {n}")
+    # small in-training eval sets (sample_fid_n) may hold fewer than k+1
+    # samples; clamp like kid clamps subset_size instead of IndexError-ing
+    nearest_k = min(nearest_k, n - 1)
 
     def pairwise(a, b):
         return np.sqrt(np.maximum(

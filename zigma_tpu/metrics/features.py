@@ -36,7 +36,7 @@ from typing import Callable, Iterable, Optional
 import numpy as np
 
 __all__ = ["register_extractor", "get_extractor", "available_extractors",
-           "patch_statistics_extractor"]
+           "patch_statistics_extractor", "video_patch_statistics_extractor"]
 
 _REGISTRY: dict = {}
 
@@ -68,6 +68,34 @@ def patch_statistics_extractor(patch: int = 8):
         mean = x.mean(axis=(3, 5)).reshape(B, -1)
         std = x.std(axis=(3, 5)).reshape(B, -1)
         return np.concatenate([mean, std], axis=1)
+
+    return extract
+
+
+def video_patch_statistics_extractor(patch: int = 8):
+    """Weight-free video features: per-frame patch statistics pooled over
+    time plus mean |temporal delta| (so motion differences register, which
+    frame-pooled statistics alone would miss).
+
+    Input: (B, T, H, W, C) videos (the VideoMetric extractor contract).
+    NOT comparable to I3D FVD features — the degraded-tracking analogue of
+    ``patch_statistics_extractor`` for video runs without cached weights.
+    """
+    frame_fn = patch_statistics_extractor(patch)
+
+    def extract(videos: np.ndarray) -> np.ndarray:
+        v = np.asarray(videos, np.float64)
+        if v.ndim != 5:
+            raise ValueError(
+                f"expected (B, T, H, W, C) videos, got shape {v.shape}")
+        B, T = v.shape[:2]
+        # (B, T, H, W, C) -> (B*T, C, H, W) for the image extractor
+        frames = v.transpose(0, 1, 4, 2, 3).reshape(
+            B * T, v.shape[4], v.shape[2], v.shape[3])
+        f = frame_fn(frames).reshape(B, T, -1)
+        delta = (np.abs(np.diff(f, axis=1)).mean(axis=1) if T > 1
+                 else np.zeros_like(f[:, 0]))
+        return np.concatenate([f.mean(axis=1), delta], axis=1)
 
     return extract
 

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-__all__ = ["TrainState", "create_optimizer", "create_train_step", "update_ema"]
+__all__ = ["TrainState", "create_optimizer", "create_train_step",
+           "create_chained_train_step", "update_ema"]
 
 LATENT_SCALE = 0.18215  # SD VAE latent scaling (train_acc.py:432-435)
 
@@ -88,6 +89,15 @@ def create_train_step(
     if donate is None:
         donate = False
 
+    step_fn = _make_step_body(loss_fn, optimizer, ema_decay)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def _make_step_body(loss_fn, optimizer, ema_decay):
+    """The un-jitted single-step body shared by the plain and chained
+    dispatchers (so chained N-step training is the SAME computation as N
+    single dispatches, not a reimplementation that could drift)."""
+
     def step_fn(state: TrainState, rng, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -100,7 +110,49 @@ def create_train_step(
             opt_state=opt_state)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return step_fn
+
+
+def create_chained_train_step(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.9999,
+    n_steps: int = 8,
+    donate: Optional[bool] = None,
+):
+    """N train steps per dispatch, lax.scan'd inside ONE jit.
+
+    Measured motivation (docs/DESIGN.md §8, train_step_anatomy.json): each
+    single-step dispatch pays ~38 ms returning the ~2.2 GB state pytree
+    through the runtime relay — ~10% of flagship step time.  Chaining keeps
+    the state on-device between the N inner steps; only the final state
+    crosses the dispatch boundary.
+
+    Signature: chained_fn(state, rngs, batches) -> (state, metrics)
+      rngs:    stacked per-step keys, shape (n_steps, 2) — pass
+               ``jax.random.split(rng, n_steps)``.  Taking the per-step keys
+               (rather than splitting internally) makes a chained dispatch
+               bit-identical in RNG consumption to N plain dispatches fed
+               the same keys, which the equivalence test pins.
+      batches: the same pytree the plain step takes, each leaf stacked with
+               a leading n_steps axis (shard with the batch axis at dim 1).
+      metrics: each entry stacked (n_steps,) — [-1] is the last step's.
+    """
+    if donate is None:
+        donate = False
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+
+    step_fn = _make_step_body(loss_fn, optimizer, ema_decay)
+
+    def chained_fn(state: TrainState, rngs, batches):
+        def body(state, xs):
+            k, batch = xs
+            return step_fn(state, k, batch)
+
+        return jax.lax.scan(body, state, (rngs, batches))
+
+    return jax.jit(chained_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_diffusion_loss_fn(model, transport, train: bool = True,

@@ -180,6 +180,13 @@ class Sampler:
         """Returns sample_fn(z, model_fn, **model_kwargs) -> trajectory
         (num_steps, B, ...); trajectory[-1] is the sample
         (transport/transport.py:372-417)."""
+        if sampling_method not in ("euler", "Euler", "heun", "Heun",
+                                   "dopri5"):
+            # fail at CONSTRUCTION, not at first trace: drivers build the
+            # sampler from config long before the first sample call
+            raise NotImplementedError(
+                f"unknown ODE sampling_method {sampling_method!r} "
+                f"(euler | heun | dopri5)")
         if reverse:
             base_drift = lambda x, t, model_fn, **kw: self.drift(
                 x, jnp.ones_like(t) * (1 - t), model_fn, **kw)

@@ -17,7 +17,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["create_logger", "MetricLogger", "array_to_image_grid"]
+__all__ = ["create_logger", "MetricLogger", "array_to_image_grid",
+           "write_video_grid"]
 
 
 def create_logger(log_dir: Optional[str] = None,
@@ -110,6 +111,29 @@ def array_to_image_grid(x: np.ndarray, pad: int = 2) -> np.ndarray:
         grid[r * (H + pad):r * (H + pad) + H,
              c * (W + pad):c * (W + pad) + W] = img
     return (grid * 255).astype(np.uint8)
+
+
+def write_video_grid(videos: np.ndarray, path: str, fps: int = 4) -> str:
+    """(B, T, C, H, W) in [-1, 1] -> one animated GIF: each GIF frame is
+    the B-sample grid at that timestep.
+
+    The reference logs ``wandb.Video`` grids for video runs
+    (train_acc.py:608-631, wandb_utils.py:91-113); this is the
+    dependency-free artifact equivalent (PIL GIF) for zero-egress runs —
+    the MetricLogger wandb mirror can ship the same file when enabled.
+    Returns ``path``.
+    """
+    from PIL import Image
+
+    v = np.asarray(videos)
+    if v.ndim != 5:
+        raise ValueError(f"expected (B, T, C, H, W) videos, got {v.shape}")
+    frames = [Image.fromarray(array_to_image_grid(v[:, t]))
+              for t in range(v.shape[1])]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   duration=max(int(1000 / fps), 1), loop=0)
+    return path
 
 
 def pos_embed_similarity_grid(pos_embed: np.ndarray, img_dim: int,
