@@ -1,17 +1,29 @@
-"""Headline benchmark: 50-step ODE sampling throughput, 256^2 latents.
+"""Framework benchmark: sampling envelope + training throughput.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Default run covers the WHOLE perf surface (VERDICT r3 #2) — every row the
+framework's speed claims rest on, so any regression is driver-visible:
 
-Baseline: the BASELINE.json north-star target of 4 images/sec/chip on v5e
-for 50-step ODE sampling of 256^2 latents (4x32x32) with the flagship
-zigzag8_b1_pe2 model (embed_dim=768, depth=24, patch=1, zigzagN8).
-``vs_baseline`` is value / 4.0 (>1 beats the target).
+  1. flagship: 50-step ODE sampling, 256^2 latents (the BASELINE.json
+     north-star: >= 4 img/s/chip on v5e; vs_baseline = value / 4.0)
+  2. 1024^2 patch-2 (4096 tokens) sampling
+  3. 1024^2 patch-1 (16384 tokens) sampling
+  4. video zzvideo_sst (16 frames x 16^2 latents) sampling
+  5. training throughput: full jitted train step (AdamW + EMA + clip, bf16,
+     remat) at the measured bs-16 optimum, chained 8 steps/dispatch
+     (vs the reference's best published 1.8 iters/s, README.md:97-99)
+
+Each row prints as its own JSON line as it completes; the FINAL line is the
+flagship row (same schema as before — the driver parses the last line) with
+every row embedded under "rows".
+
+Rows 2-4 are baselined against our own round-3 measured values (the
+reference publishes no numbers for those configs); >1 = improved.
 
 Timing note: on the axon-relayed chip ``block_until_ready`` does not block,
-so each timed call returns a scalar (sum of the sampled batch) and is synced
-by transferring that scalar to the host; the RNG key is derived in-jit from
-the iteration index so no per-call data upload is needed.
+so each timed call returns a scalar (sum of the sampled batch / the loss)
+and is synced by transferring that scalar to the host; sampling RNG keys
+are derived in-jit from the iteration index so no per-call data upload is
+needed.
 """
 
 from __future__ import annotations
@@ -26,30 +38,32 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+V5E_BF16_PEAK = 197.0  # TFLOP/s
+
+# flagship model kwargs (zigzag8_b1_pe2, the BASELINE.json config)
+_FLAGSHIP = dict(in_channels=4, embed_dim=768, depth=24, img_dim=32,
+                 patch_size=1, scan_type="zigzagN8", use_pe=2,
+                 dtype=jnp.bfloat16)
+
+
+def _sampling_row(tag, model_kwargs, shape, batch, n_iters, baseline, unit,
+                  baseline_note, num_steps=50):
+    """Build + time one 50-step-ODE sampling row; returns the row dict."""
     from zigma_tpu.models import ZigMa
+    from zigma_tpu.models.zigma import zigma_flops
     from zigma_tpu.transport import Sampler, create_transport
+    from zigma_tpu.utils.inference import cast_params_for_inference
 
-    # batch 16 is the measured v5e throughput optimum (docs/DESIGN.md §9:
-    # the scan-path gathers fold into the in_proj read at b=16 but
-    # materialize at b>=32); override for sweeps only
-    batch = int(os.environ.get("ZIGMA_BENCH_BATCH", "16"))
-    num_steps = 50
-
-    model = ZigMa(
-        in_channels=4, embed_dim=768, depth=24, img_dim=32, patch_size=1,
-        scan_type="zigzagN8", use_pe=2, dtype=jnp.bfloat16,
-    )
-    x0 = jnp.zeros((batch, 4, 32, 32), jnp.float32)
+    kw = {**_FLAGSHIP, **model_kwargs}
+    model = ZigMa(**kw)
+    x0 = jnp.zeros((batch,) + shape, jnp.float32)
     t0 = jnp.zeros((batch,), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0, t0)
     # hoist the per-call fp32->bf16 weight converts out of the jit
     # (~1 ms/forward measured in the round-2 profile; bit-identical outputs)
-    from zigma_tpu.utils.inference import cast_params_for_inference
     params = cast_params_for_inference(params, jnp.bfloat16)
 
-    transport = create_transport("Linear", "velocity")
-    sampler = Sampler(transport)
+    sampler = Sampler(create_transport("Linear", "velocity"))
     sample_fn = sampler.sample_ode(sampling_method="euler",
                                    num_steps=num_steps)
 
@@ -58,113 +72,168 @@ def main():
         # params as an ARGUMENT: closing over them would bake ~500 MB of
         # constants into the HLO (breaks remote-compile payload limits)
         z = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1), i),
-                              (batch, 4, 32, 32))
+                              (batch,) + shape)
         model_fn = lambda x, t: model.apply(params, x, t)
         return jnp.float32(jnp.sum(sample_fn(z, model_fn)[-1]))
 
-    float(generate_sum(params, 0))  # warmup / compile
-
-    n_iters = 3
+    s = float(generate_sum(params, 0))  # warmup / compile
+    ok = math.isfinite(s)
     start = time.perf_counter()
     for i in range(1, n_iters + 1):
         s = float(generate_sum(params, i))  # scalar transfer = real sync
-        assert math.isfinite(s), f"non-finite sample sum at iter {i}: {s}"
+        ok &= math.isfinite(s)  # validate the TIMED draws too
     elapsed = time.perf_counter() - start
 
     # the jitted sampler is unsharded: exactly ONE chip does the work,
     # regardless of how many devices the host exposes
-    imgs_per_sec_per_chip = batch * n_iters / elapsed
-    baseline = 4.0  # BASELINE.json north-star target (img/s/chip, v5e)
+    per_sec = batch * n_iters / elapsed
 
-    # model-FLOPs throughput + MFU so perf is interpretable across rounds
-    # (VERDICT r2 weak-6): analytic FLOPs per forward (the reference's
-    # fvcore rule incl. 9*B*L*D*N for the scan, model_zigma.py:1140-1170)
-    # x 50 forwards per image batch / measured wall time.
+    # model-FLOPs throughput + MFU so perf is interpretable across rounds:
+    # analytic FLOPs per forward (the reference's fvcore rule incl.
+    # 9*B*L*D*N for the scan, model_zigma.py:1140-1170) x forwards/batch
+    # / measured wall time.  A fixed-grid euler sampler over
+    # linspace(0, 1, num_steps) performs num_steps-1 forwards (one per
+    # grid interval, odeint_fixed scans ts[:-1]) — not num_steps.
+    n_tokens = (shape[-1] // kw["patch_size"]) ** 2
+    if len(shape) == 4:  # (T, C, H, W) video latents
+        n_tokens *= shape[0]
+    fwd_flops = zigma_flops(batch=batch, seq=n_tokens,
+                            embed_dim=kw["embed_dim"], depth=kw["depth"])
+    tflops = fwd_flops * (num_steps - 1) * n_iters / elapsed / 1e12
+    return {
+        "metric": f"50-step ODE sampling, {tag}",
+        "value": round(per_sec, 4),
+        "unit": unit,
+        "vs_baseline": round(per_sec / baseline, 4),
+        "baseline_is": baseline_note,
+        "model_tflops_per_sec": round(tflops, 2),
+        "mfu_vs_v5e_bf16_peak": round(tflops / V5E_BF16_PEAK, 4),
+        "ok": bool(ok),
+    }
+
+
+# rows 2-4: the long-sequence / video sampling envelope.
+# (tag, model kwargs, latent shape, batch, round-3 baseline, unit)
+_ENVELOPE_ROWS = [
+    ("1024^2 cfg (4096 tok, patch2)",
+     dict(img_dim=128, patch_size=2), (4, 128, 128), 2, 0.952, "img/s"),
+    ("1024^2 patch1 (16384 tok)",
+     dict(img_dim=128, patch_size=1), (4, 128, 128), 1, 0.292, "img/s"),
+    # NOTE: the round-2 README labeled this row "16x256^2" but the 0.90
+    # videos/s number is only consistent with 16x16^2 LATENTS (4096
+    # tokens, cf. the 4096-token image row) — this is the shipped
+    # ucf101-style config's latent geometry at 128^2 pixels
+    ("video 16 frames x 16^2 latents (zzvideo_sst, 4096 tok)",
+     dict(img_dim=16, patch_size=1, scan_type="zzvideo_sst",
+          video_frames=16), (16, 4, 16, 16), 1, 0.912, "videos/s"),
+]
+_R3_NOTE = "round-3 measured value (no reference number)"
+
+
+def _training_row(chain=8, n_dispatches=2):
+    """Row 5: full train-step throughput at the measured bs-16 optimum
+    (train_batch_sweep.json) — AdamW + EMA + grad-clip, bf16 activations,
+    remat — chained ``chain`` steps per dispatch (cli/train.py
+    ``chain_steps``; harvests the measured ~10%/dispatch relay overhead,
+    docs/DESIGN.md §8).  Baseline: the reference's best published training
+    speed, 1.8 iters/s with torch.compile (README.md:97-99; its
+    grad-checkpointing row is 0.93)."""
+    from zigma_tpu.models import ZigMa
     from zigma_tpu.models.zigma import zigma_flops
-    fwd_flops = zigma_flops(batch=batch, seq=1024, embed_dim=768, depth=24)
-    # a fixed-grid euler sampler over linspace(0, 1, num_steps) performs
-    # num_steps-1 forwards (one per grid interval, odeint_fixed scans
-    # ts[:-1]) — not num_steps
-    n_forwards = num_steps - 1
-    tflops_per_sec = fwd_flops * n_forwards * n_iters / elapsed / 1e12
-    peak = 197.0  # v5e bf16 peak TFLOP/s
+    from zigma_tpu.train import (TrainState, create_chained_train_step,
+                                 create_optimizer, make_diffusion_loss_fn)
+    from zigma_tpu.transport import create_transport
+
+    bs = 16
+    model = ZigMa(**{**_FLAGSHIP, "use_checkpoint": True})
+    optimizer = create_optimizer()
+    x0 = jnp.zeros((bs, 4, 32, 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((bs,)))
+    state = TrainState.create(params, optimizer)
+    step_fn = create_chained_train_step(
+        make_diffusion_loss_fn(model, create_transport("Linear", "velocity")),
+        optimizer, n_steps=chain)
+    data = jax.tree.map(
+        lambda v: jnp.broadcast_to(v, (chain,) + v.shape),
+        {"x": jax.random.normal(jax.random.PRNGKey(1), (bs, 4, 32, 32))})
+    rng = jax.random.PRNGKey(2)
+
+    state, m = step_fn(state, jax.random.split(rng, chain), data)  # compile
+    loss = float(jax.device_get(m["loss"][-1]))
+    ok = math.isfinite(loss)
+    start = time.perf_counter()
+    for i in range(n_dispatches):
+        state, m = step_fn(state, jax.random.split(
+            jax.random.fold_in(rng, i), chain), data)
+        loss = float(jax.device_get(m["loss"][-1]))  # scalar sync
+        ok &= math.isfinite(loss)
+    elapsed = time.perf_counter() - start
+    steps_per_sec = chain * n_dispatches / elapsed
+
+    # train-step FLOPs: fwd + bwd ~= 3x a forward, + remat re-forward = 4x
+    # (the standard remat accounting; optimizer/EMA element ops are
+    # bandwidth, not FLOPs)
+    fwd = zigma_flops(batch=bs, seq=1024, embed_dim=768, depth=24)
+    tflops = fwd * 4 * chain * n_dispatches / elapsed / 1e12
+    baseline = 1.8  # reference best published iters/s (README.md:97-99)
+    return {
+        "metric": (f"training steps/sec, 256^2 latents bs{bs}, "
+                   f"AdamW+EMA+remat bf16, chain={chain}"),
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "imgs_per_sec": round(steps_per_sec * bs, 4),
+        "loss": round(loss, 4),
+        "vs_baseline": round(steps_per_sec / baseline, 4),
+        "baseline_is": "reference 1.8 iters/s (torch.compile, README:97-99)",
+        "model_tflops_per_sec": round(tflops, 2),
+        "mfu_vs_v5e_bf16_peak": round(tflops / V5E_BF16_PEAK, 4),
+        "ok": bool(ok),
+    }
+
+
+def main(full=True):
+    # batch 16 is the measured v5e throughput optimum (docs/DESIGN.md §9:
+    # the scan-path gathers fold into the in_proj read at b=16 but
+    # materialize at b>=32); override for sweeps only
+    batch = int(os.environ.get("ZIGMA_BENCH_BATCH", "16"))
+    flagship = _sampling_row(
+        "256^2 latents, zigzag8_b1", {}, (4, 32, 32), batch, n_iters=3,
+        baseline=4.0, unit="images/sec/chip",
+        baseline_note="BASELINE.json north-star (4 img/s/chip, v5e)")
+    rows = [flagship]
+    print(json.dumps(flagship), flush=True)
+    if full:
+        for tag, kw, shape, b, base, unit in _ENVELOPE_ROWS:
+            row = _sampling_row(tag, kw, shape, b, n_iters=2, baseline=base,
+                                unit=unit, baseline_note=_R3_NOTE)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        rows.append(_training_row())
+        print(json.dumps(rows[-1]), flush=True)
+
+    # FINAL line = the flagship row (the driver parses the last JSON line;
+    # schema unchanged) with the full surface embedded under "rows"
     print(json.dumps({
         "metric": "images/sec/chip, 50-step ODE, 256^2 latents, zigzag8_b1",
-        "value": round(imgs_per_sec_per_chip, 4),
+        "value": flagship["value"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_per_chip / baseline, 4),
-        "model_tflops_per_sec": round(tflops_per_sec, 2),
-        "mfu_vs_v5e_bf16_peak": round(tflops_per_sec / peak, 4),
+        "vs_baseline": flagship["vs_baseline"],
+        "model_tflops_per_sec": flagship["model_tflops_per_sec"],
+        "mfu_vs_v5e_bf16_peak": flagship["mfu_vs_v5e_bf16_peak"],
+        "all_ok": all(r["ok"] for r in rows),
+        "rows": rows,
     }))
 
 
 def envelope():
-    """Long-sequence + video sampling rows (VERDICT r2 #10): driver-capturable
-    round-over-round perf on the configs where the remaining risk lives,
-    instead of README-asserted numbers.  Opt-in (``python bench.py envelope``)
-    so the default single-line contract for the driver is unchanged.
-
-    ``vs_baseline`` here is vs the ROUND-2 measured value of the same row
-    (README table) — the reference publishes no numbers for these configs,
-    so the baseline tracks our own prior round (>1 = improved).
-    """
-    from zigma_tpu.models import ZigMa
-    from zigma_tpu.transport import Sampler, create_transport
-    from zigma_tpu.utils.inference import cast_params_for_inference
-
-    transport = create_transport("Linear", "velocity")
-    sampler = Sampler(transport)
-    sample_fn = sampler.sample_ode(sampling_method="euler", num_steps=50)
-
-    rows = [
-        # (tag, model kwargs, latent shape, batch, r2 baseline, unit)
-        ("1024^2 cfg (4096 tok, patch2)",
-         dict(img_dim=128, patch_size=2), (4, 128, 128), 2, 0.88, "img/s"),
-        ("1024^2 patch1 (16384 tok)",
-         dict(img_dim=128, patch_size=1), (4, 128, 128), 1, 0.24, "img/s"),
-        # NOTE: the round-2 README labeled this row "16x256^2" but the 0.90
-        # videos/s number is only consistent with 16x16^2 LATENTS (4096
-        # tokens, cf. the 0.88 img/s 4096-token image row) — relabeled here
-        # and in the README; this is the shipped ucf101-style config's
-        # latent geometry at 128^2 pixels
-        ("video 16 frames x 16^2 latents (zzvideo_sst, 4096 tok)",
-         dict(img_dim=16, patch_size=1, scan_type="zzvideo_sst",
-              video_frames=16), (16, 4, 16, 16), 1, 0.90, "videos/s"),
-    ]
+    """The long-sequence + video sampling rows alone (now also part of the
+    default run; kept as a subcommand for targeted sweeps)."""
     ok = True
-    for tag, kw, shape, batch, base, unit in rows:
-        kw = {**dict(in_channels=4, embed_dim=768, depth=24,
-                     scan_type="zigzagN8", use_pe=2, dtype=jnp.bfloat16),
-              **kw}  # row kwargs override the flagship defaults
-        model = ZigMa(**kw)
-        x0 = jnp.zeros((batch,) + shape, jnp.float32)
-        t0 = jnp.zeros((batch,), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), x0, t0)
-        params = cast_params_for_inference(params, jnp.bfloat16)
-
-        @jax.jit
-        def generate_sum(params, i, model=model, shape=shape, batch=batch):
-            z = jax.random.normal(
-                jax.random.fold_in(jax.random.PRNGKey(1), i),
-                (batch,) + shape)
-            model_fn = lambda x, t: model.apply(params, x, t)
-            return jnp.float32(jnp.sum(sample_fn(z, model_fn)[-1]))
-
-        s = float(generate_sum(params, 0))  # warmup/compile
-        ok &= math.isfinite(s)
-        n_iters = 2
-        start = time.perf_counter()
-        for i in range(1, n_iters + 1):
-            s = float(generate_sum(params, i))
-            ok &= math.isfinite(s)  # validate the TIMED draws too
-        per_sec = batch * n_iters / (time.perf_counter() - start)
-        print(json.dumps({
-            "metric": f"50-step ODE sampling, {tag}",
-            "value": round(per_sec, 4),
-            "unit": unit,
-            "vs_baseline": round(per_sec / base, 4),
-            "baseline_is": "round-2 measured value (no reference number)",
-        }))
+    for tag, kw, shape, b, base, unit in _ENVELOPE_ROWS:
+        row = _sampling_row(tag, kw, shape, b, n_iters=2, baseline=base,
+                            unit=unit, baseline_note=_R3_NOTE)
+        ok &= row["ok"]
+        print(json.dumps(row), flush=True)
     return ok
 
 
@@ -464,4 +533,8 @@ if __name__ == "__main__":
         sys.exit(0 if kernel_check() else 1)
     if "envelope" in sys.argv[1:]:
         sys.exit(0 if envelope() else 1)
-    main()
+    if "train" in sys.argv[1:]:
+        print(json.dumps(_training_row()))
+        sys.exit(0)
+    # "headline": the flagship row only (fast pre-flight)
+    main(full="headline" not in sys.argv[1:])

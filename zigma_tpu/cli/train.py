@@ -29,6 +29,7 @@ from zigma_tpu.parallel import make_mesh, replicate, shard_batch
 from zigma_tpu.train import (
     LATENT_SCALE,
     TrainState,
+    create_chained_train_step,
     create_optimizer,
     create_train_step,
     latest_checkpoint,
@@ -195,8 +196,20 @@ def main(argv=None):
     latent_scale = LATENT_SCALE if cfg.get("is_latent", True) else None
     loss_fn = make_diffusion_loss_fn(model, transport,
                                      latent_scale=latent_scale)
-    step_fn = create_train_step(loss_fn, optimizer,
-                                ema_decay=float(cfg.get("ema_rate", 0.9999)))
+    ema_rate = float(cfg.get("ema_rate", 0.9999))
+    # chain_steps > 1: N optimizer steps per dispatch via one jitted
+    # lax.scan — harvests the measured ~10% per-dispatch overhead of
+    # returning the state pytree through the runtime relay
+    # (train/state.py create_chained_train_step; docs/DESIGN.md §8).
+    # Same step body as the plain path; periodic actions (log/ckpt/vis/
+    # eval) fire at the first chain boundary at-or-after their cadence.
+    chain = int(cfg.get("chain_steps", 1))
+    if chain < 1:
+        raise ValueError(f"chain_steps must be >= 1, got {chain}")
+    step_fn = create_train_step(loss_fn, optimizer, ema_decay=ema_rate)
+    chain_fn = (create_chained_train_step(loss_fn, optimizer,
+                                          ema_decay=ema_rate, n_steps=chain)
+                if chain > 1 else None)
 
     sampler = Sampler(transport)
     # in-training sampling (vis + eval-on-the-fly) honors the ode config
@@ -340,6 +353,7 @@ def main(argv=None):
     logger.info("training for %d steps on mesh %s", train_steps,
                 dict(mesh.shape))
     t_log = time.time()
+    last_log_step = int(jax.device_get(state.step))
     # host-side step counter: reading state.step each iteration would block
     # on the async-dispatched train step and stop input I/O from overlapping
     # device compute
@@ -350,27 +364,53 @@ def main(argv=None):
                 "signal %s received: checkpointing and exiting at step %d",
                 stop_requested[0], step)
             break
-        batch = next(gen)
-        batch = shard_batch(
-            {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
-        rng, k_step = jax.random.split(rng)
-        state, metrics = step_fn(state, k_step, batch)
-        step += 1
+        prev_step = step
+        n = min(chain, train_steps - step)
+        if chain_fn is not None and n == chain:
+            # N steps in one dispatch.  Keys come from the SAME host-side
+            # split sequence as N plain dispatches, so chained/unchained
+            # runs are bit-identical in RNG consumption (pinned by
+            # tests/test_metric_menu.py::TestChainedTraining)
+            ks, batches = [], []
+            for _ in range(n):
+                rng, k = jax.random.split(rng)
+                ks.append(k)
+                batches.append(next(gen))
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+            stacked = shard_batch(
+                {k: jnp.asarray(v) for k, v in stacked.items()}, mesh,
+                axis=1)
+            state, metrics = chain_fn(state, jnp.stack(ks), stacked)
+            metrics = jax.tree.map(lambda x: x[-1], metrics)
+        else:  # plain path; also the sub-chain tail of a chained run
+            for _ in range(n):
+                batch = next(gen)
+                batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                rng, k_step = jax.random.split(rng)
+                state, metrics = step_fn(state, k_step, batch)
+        step += n
 
-        if step % log_every == 0:
+        def crossed(every):
+            # cadence check that tolerates step advancing by `chain` per
+            # iteration: fires at the first boundary at-or-after each
+            # multiple of `every` (== step % every == 0 when chain == 1)
+            return every and (step // every) > (prev_step // every)
+
+        if crossed(log_every):
             loss = float(jax.device_get(metrics["loss"]))
-            sps = log_every / max(time.time() - t_log, 1e-9)
-            t_log = time.time()
+            sps = (step - last_log_step) / max(time.time() - t_log, 1e-9)
+            t_log, last_log_step = time.time(), step
             logger.info("step %d  loss %.4f  steps/sec %.2f", step, loss, sps)
             mlog.log(step, loss=loss, steps_per_sec=sps,
                      grad_norm=float(jax.device_get(metrics["grad_norm"])))
 
-        if step % ckpt_every == 0:
+        if crossed(ckpt_every):
             # ALL processes must call: orbax save is a global collective
             path = save_checkpoint(ckpt_dir, state)
             logger.info("saved checkpoint %s", path)
 
-        if step % sample_every == 0:
+        if crossed(sample_every):
             try:
                 rng, k_vis = jax.random.split(rng)
                 z = jax.random.normal(k_vis, example["x"].shape[:1] +
@@ -397,7 +437,7 @@ def main(argv=None):
             except Exception as e:  # train must survive sampler blowups
                 logger.warning("in-training sampling failed: %s", e)
 
-        if fid_every and fid_n and step % fid_every == 0:
+        if fid_n and crossed(fid_every):
             try:
                 rng, k_fid = jax.random.split(rng)
                 scores = fid_eval(state, k_fid)

@@ -37,21 +37,26 @@ def make_mesh(data: int = -1, model: int = 1,
     return Mesh(dev_array, ("data", "model"))
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with the leading axis sharded over 'data'.
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
+    """Place a host batch with dim ``axis`` sharded over 'data'.
+
+    axis: which dim is the batch dim — 0 for a plain batch, 1 for the
+    chained-train-step layout (leading dim = steps-per-dispatch, replicated;
+    dim 1 = batch, sharded).
 
     Single-process: a plain sharded device_put.  Multi-process: each host's
     array is its LOCAL slice of the global batch, so assemble a global
     array (global batch = n_processes * local batch, matching DDP
     semantics) instead of letting device_put misread the local array as the
     whole global batch."""
+    spec = P(*([None] * axis + ["data"]))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         return jax.tree.map(
             lambda x: multihost_utils.host_local_array_to_global_array(
-                np.asarray(x), mesh, P("data")), batch)
-    sharding = NamedSharding(mesh, P("data"))
+                np.asarray(x), mesh, spec), batch)
+    sharding = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

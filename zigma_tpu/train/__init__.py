@@ -1,6 +1,7 @@
 from zigma_tpu.train.state import (
     LATENT_SCALE,
     TrainState,
+    create_chained_train_step,
     create_optimizer,
     create_train_step,
     make_diffusion_loss_fn,
@@ -15,6 +16,7 @@ from zigma_tpu.train.checkpoints import (
 __all__ = [
     "LATENT_SCALE",
     "TrainState",
+    "create_chained_train_step",
     "create_optimizer",
     "create_train_step",
     "make_diffusion_loss_fn",
