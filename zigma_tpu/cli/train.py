@@ -427,13 +427,15 @@ def main(argv=None):
                     if arr.ndim == 5:  # video: animated grid, every frame
                         # (the reference logs wandb.Video grids,
                         # train_acc.py:608-631)
-                        write_video_grid(
+                        vis_path = write_video_grid(
                             arr[:, :, :3],
                             os.path.join(run_dir, "vis", f"{step:07d}.gif"))
                     else:
                         grid = array_to_image_grid(arr[:, :3])
-                        Image.fromarray(grid).save(
-                            os.path.join(run_dir, "vis", f"{step:07d}.png"))
+                        vis_path = os.path.join(run_dir, "vis",
+                                                f"{step:07d}.png")
+                        Image.fromarray(grid).save(vis_path)
+                    mlog.log_media(step, vis_path)
             except Exception as e:  # train must survive sampler blowups
                 logger.warning("in-training sampling failed: %s", e)
 

@@ -87,6 +87,19 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_media(self, step: int, path: str, key: str = "samples"):
+        """Mirror an on-disk visualization artifact to wandb when enabled —
+        ``wandb.Video`` for animated files, ``wandb.Image`` otherwise (the
+        reference's sample-grid / video logging, train_acc.py:608-631,
+        wandb_utils.py:91-113).  The file on disk is already the primary
+        artifact; without wandb this is a no-op."""
+        if self._wandb is None or not self.is_main:
+            return
+        media = (self._wandb.Video(path)
+                 if path.endswith((".gif", ".mp4", ".webm"))
+                 else self._wandb.Image(path))
+        self._wandb.log({key: media}, step=step)
+
     def close(self):
         if self._fh:
             self._fh.close()
