@@ -114,9 +114,14 @@ def _sampling_row(tag, model_kwargs, shape, batch, n_iters, baseline, unit,
 
 # rows 2-4: the long-sequence / video sampling envelope.
 # (tag, model kwargs, latent shape, batch, round-3 baseline, unit)
+# Batches are the measured per-row optima from the round-4 sweep
+# (experiments/results/envelope_batch_sweep.json): at 4096+ tokens the
+# per-sample optimum is batch 1 — bs2 loses ~15% on the p2 row (gather
+# materialization scales with b*L), unlike the 1024-token flagship whose
+# optimum is bs16.  Baselines stay the round-3 shipped-config numbers.
 _ENVELOPE_ROWS = [
     ("1024^2 cfg (4096 tok, patch2)",
-     dict(img_dim=128, patch_size=2), (4, 128, 128), 2, 0.952, "img/s"),
+     dict(img_dim=128, patch_size=2), (4, 128, 128), 1, 0.952, "img/s"),
     ("1024^2 patch1 (16384 tok)",
      dict(img_dim=128, patch_size=1), (4, 128, 128), 1, 0.292, "img/s"),
     # NOTE: the round-2 README labeled this row "16x256^2" but the 0.90
