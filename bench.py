@@ -218,6 +218,7 @@ def main(full=True):
 
     # FINAL line = the flagship row (the driver parses the last JSON line;
     # schema unchanged) with the full surface embedded under "rows"
+    all_ok = all(r["ok"] for r in rows)
     print(json.dumps({
         "metric": "images/sec/chip, 50-step ODE, 256^2 latents, zigzag8_b1",
         "value": flagship["value"],
@@ -225,9 +226,10 @@ def main(full=True):
         "vs_baseline": flagship["vs_baseline"],
         "model_tflops_per_sec": flagship["model_tflops_per_sec"],
         "mfu_vs_v5e_bf16_peak": flagship["mfu_vs_v5e_bf16_peak"],
-        "all_ok": all(r["ok"] for r in rows),
+        "all_ok": all_ok,
         "rows": rows,
     }))
+    return all_ok
 
 
 def envelope():
@@ -541,5 +543,7 @@ if __name__ == "__main__":
     if "train" in sys.argv[1:]:
         print(json.dumps(_training_row()))
         sys.exit(0)
-    # "headline": the flagship row only (fast pre-flight)
-    main(full="headline" not in sys.argv[1:])
+    # "headline": the flagship row only (fast pre-flight).  Exit code
+    # gates on row health: a NaN-producing regression must fail CI even
+    # for consumers that only check the return code, not the JSON
+    sys.exit(0 if main(full="headline" not in sys.argv[1:]) else 1)

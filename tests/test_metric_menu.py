@@ -368,3 +368,84 @@ validation:
         scores = json.load(open(os.path.join(sample_dir, "metrics.json")))
         assert np.isfinite(scores["fvd"]) and np.isfinite(scores["fid"])
         assert "fvd_patch_stats" in scores  # degraded flavor pinned
+
+
+class TestReviewFixesR4:
+    """Round-4 self-review regressions: per-choice net gating, config-time
+    eval_metrics validation, and frame-folded video decode."""
+
+    def test_mixed_degradation_keeps_canonical_fdd(self, monkeypatch):
+        """DINOv2 cached but Inception absent: the main fid stream degrades
+        to patch statistics, yet fdd stays on its own canonical net instead
+        of being dropped (or silently hijacked by the main override)."""
+        from zigma_tpu.metrics import build_metric_suite
+        from zigma_tpu.metrics import features
+
+        dinov2 = features.patch_statistics_extractor(4)
+        monkeypatch.setitem(features._REGISTRY, "dinov2", dinov2)
+        s = build_metric_suite(choices=["fid", "fdd"], video=False,
+                               in_pixels=True)
+        assert s.choices == ["fid", "fdd"]
+        assert not s.dropped
+        # fdd rides its OWN stream with the registered net, not the
+        # degraded main extractor
+        assert s.image.extractors["fdd"] is dinov2
+        assert s.image.extractors["main"] is not dinov2
+        rng = np.random.default_rng(2)
+        s.update_real(rng.integers(0, 256, (6, 3, 16, 16), np.uint8))
+        s.update_fake(rng.integers(0, 256, (6, 3, 16, 16), np.uint8))
+        out = s.compute(sync=False)
+        assert np.isfinite(out["fdd"]) and np.isfinite(out["fid"])
+
+    def test_validate_choices(self):
+        from zigma_tpu.metrics.menu import (REFERENCE_IMAGE_MENU,
+                                            validate_choices)
+
+        assert validate_choices(None, video=False) == list(
+            REFERENCE_IMAGE_MENU)
+        with pytest.raises(ValueError, match="unknown"):
+            validate_choices(["fid", "fdi"])
+        with pytest.raises(ValueError, match="video"):
+            validate_choices(["fvd"], video=False)
+
+    def test_train_rejects_bad_eval_metrics_at_startup(self, tmp_path):
+        """A typo'd eval_metrics fails at config time, not at the first
+        eval boundary thousands of steps in."""
+        from zigma_tpu.cli.train import main
+
+        with pytest.raises(ValueError, match="unknown metric choices"):
+            main([
+                "data=synthetic", "data.batch_size=8",
+                "data.train_steps=2", "model.params.embed_dim=32",
+                "model.params.depth=2", "model.params.img_dim=8",
+                "model.params.patch_size=2",
+                "model.params.scan_type=zigzagN2", "mixed_precision=fp32",
+                "data.sample_fid_every=1000", "data.sample_fid_n=8",
+                f"results_dir={tmp_path / 'out'}",
+                "eval_metrics=[fid,fdi]",
+            ])
+
+    def test_decode_maybe_video_folds_frames(self):
+        """(B, T, C, H, W) latents reach the codec as 4-D frame batches
+        and come back refolded (reference decodes video frame-wise,
+        train_acc.py:345,365)."""
+        from zigma_tpu.data import decode_maybe_video
+
+        calls = []
+
+        class Fake4DCodec:
+            def decode(self, latents):
+                assert latents.ndim == 4, latents.shape
+                calls.append(latents.shape)
+                return np.repeat(latents[:, :3] if latents.shape[1] >= 3
+                                 else latents, 2, axis=-1)
+
+        arr = np.random.default_rng(3).normal(
+            size=(2, 5, 4, 8, 8)).astype(np.float32)
+        out = decode_maybe_video(Fake4DCodec(), arr)
+        assert calls == [(10, 4, 8, 8)]
+        assert out.shape == (2, 5, 3, 8, 16)
+        # 4-D passes straight through
+        img = arr[:, 0]
+        out4 = decode_maybe_video(Fake4DCodec(), img)
+        assert out4.shape == (2, 3, 8, 16)

@@ -177,6 +177,21 @@ def main(argv=None):
 
     from PIL import Image
 
+    # latent decode for pixel-space metrics / PNGs (sample_acc.py:365).
+    # Built BEFORE the metric suite: in_pixels must key on the codec we
+    # actually got, not the decode_latents flag — get_codec('auto')
+    # degrades to IdentityCodec when no VAE weights are cached, and raw
+    # float latents must then take the patch-statistics route instead of
+    # being uint8-ified into the canonical 3-channel net contracts
+    codec = None
+    if cfg.get("decode_latents"):
+        from zigma_tpu.data import get_codec
+
+        codec = get_codec(cfg.get("vae_kind", "auto"))
+    from zigma_tpu.data import IdentityCodec, decode_maybe_video
+
+    in_pixels = codec is not None and not isinstance(codec, IdentityCodec)
+
     # optional metrics vs real data (sample_acc.py:359-385, 454-462):
     # metrics=[fid,kid,...] in config + a validation loader for real batches
     metric = None
@@ -193,7 +208,7 @@ def main(argv=None):
         suite = build_metric_suite(
             choices=list(metric_choices),
             video=cfg.data.get("video_frames", 0) > 0,
-            in_pixels=bool(cfg.get("decode_latents")), logger=logger)
+            in_pixels=in_pixels, logger=logger)
         if suite.empty:
             logger.warning("metrics unavailable: every requested choice "
                            "was dropped (%s)", list(suite.dropped))
@@ -228,13 +243,6 @@ def main(argv=None):
                 "text conditioning falls back to null features)")
             real_gen = None
             return None
-
-    # latent decode for pixel-space metrics / PNGs (sample_acc.py:365)
-    codec = None
-    if cfg.get("decode_latents"):
-        from zigma_tpu.data import get_codec
-
-        codec = get_codec(cfg.get("vae_kind", "auto"))
 
     made = 0
     it = 0
@@ -283,7 +291,8 @@ def main(argv=None):
             samples = samples / latent_scale
         arr = np.asarray(jax.device_get(samples), np.float32)
         if codec is not None:
-            arr = codec.decode(arr)
+            # 5-D video latents are frame-folded through the 2-D VAE
+            arr = decode_maybe_video(codec, arr)
         if metric is not None:
             from zigma_tpu.metrics import to_uint8_images
 
@@ -297,12 +306,12 @@ def main(argv=None):
                 # (sample_acc.py:384-385); raw latents stay float
                 # (patch-stats tracking only)
                 metric.update_fake(to_uint8_images(arr)
-                                   if codec is not None else arr)
+                                   if in_pixels else arr)
                 real = np.asarray(real_batch["x"])[:bs]
                 if codec is not None:
-                    real = codec.decode(real)
+                    real = decode_maybe_video(codec, real)
                 metric.update_real(to_uint8_images(real)
-                                   if codec is not None else real)
+                                   if in_pixels else real)
                 n_real_updates += 1
         if arr.ndim == 5:
             np.save(os.path.join(out_dir, f"video_{it}_{rank}.npy"), arr)

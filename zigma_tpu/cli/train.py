@@ -238,6 +238,14 @@ def main(argv=None):
     sample_every = int(cfg.get("sample_every", 10_000))
     fid_every = int(cfg.data.get("sample_fid_every", 0) or 0)
     fid_n = int(cfg.data.get("sample_fid_n", 0) or 0)
+    if fid_n and fid_every:
+        # fail fast on a typo'd eval_metrics / fvd-on-image config NOW,
+        # not at the first eval boundary thousands of steps in
+        from zigma_tpu.metrics.menu import validate_choices
+
+        validate_choices(
+            cfg.data.get("eval_metrics") or cfg.get("eval_metrics"),
+            video=cfg.data.get("video_frames", 0) > 0)
 
     fid_state = {}  # metric/codec built ONCE, reused (reset) per eval
 
@@ -249,7 +257,8 @@ def main(argv=None):
         (train_acc.py:398-405).  Each choice degrades independently
         (metrics/menu.py): fid-family falls to weight-free patch stats,
         net-defined choices drop with a warning."""
-        from zigma_tpu.data import IdentityCodec, get_codec
+        from zigma_tpu.data import (IdentityCodec, decode_maybe_video,
+                                    get_codec)
         from zigma_tpu.metrics import build_metric_suite, to_uint8_images
 
         if not fid_state:
@@ -279,16 +288,9 @@ def main(argv=None):
         metric.reset()
 
         def feed(arr):
-            arr = np.asarray(arr)
-            if arr.ndim == 5:
-                # frame-folded VAE decode: the reference decodes video
-                # latents frame-wise (train_acc.py:345,365) and its metric
-                # facade refolds (b t) for FVD (my_metrics.py:58-69)
-                B, T = arr.shape[:2]
-                dec = codec.decode(arr.reshape((-1,) + arr.shape[2:]))
-                arr = dec.reshape((B, T) + dec.shape[1:])
-            else:
-                arr = codec.decode(arr)
+            # frame-folded VAE decode for video (the metric facade refolds
+            # (b t) for FVD, my_metrics.py:58-69)
+            arr = decode_maybe_video(codec, arr)
             return to_uint8_images(arr) if in_pixels else arr
 
         # real side: a fresh finite pass over the VALIDATION split when one
@@ -370,7 +372,7 @@ def main(argv=None):
             # N steps in one dispatch.  Keys come from the SAME host-side
             # split sequence as N plain dispatches, so chained/unchained
             # runs are bit-identical in RNG consumption (pinned by
-            # tests/test_metric_menu.py::TestChainedTraining)
+            # tests/test_chained_train.py::TestChainedEquivalence)
             ks, batches = [], []
             for _ in range(n):
                 rng, k = jax.random.split(rng)
@@ -453,8 +455,13 @@ def main(argv=None):
                     # mesh-replicated state and break the next train step
                     state = state.replace(best_fid=jnp.minimum(
                         state.best_fid, jnp.float32(scores["fid"])))
-            except RuntimeError as e:  # no feature extractor available
-                logger.warning("FID eval unavailable: %s", e)
+            except (RuntimeError, ValueError) as e:
+                # RuntimeError: no feature extractor survived degradation.
+                # ValueError: a metric's sample-count precondition failed
+                # (e.g. prdc with a 1-sample split) — also won't fix
+                # itself between intervals.  Neither may crash training:
+                # the final checkpoint save below must still run.
+                logger.warning("eval unavailable: %s", e)
                 fid_every = 0  # don't retry every interval
 
     # ALL processes must call: orbax save is a global collective

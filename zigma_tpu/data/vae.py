@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["LatentCodec", "IdentityCodec", "TorchVAECodec", "JAXVAECodec",
-           "get_codec", "LATENT_SCALE"]
+           "get_codec", "decode_maybe_video", "LATENT_SCALE"]
 
 LATENT_SCALE = 0.18215
 
@@ -34,6 +34,19 @@ class LatentCodec:
 
     def decode(self, latents: np.ndarray) -> np.ndarray:  # -> (B,C,H,W) [-1,1]
         raise NotImplementedError
+
+
+def decode_maybe_video(codec: "LatentCodec", arr: np.ndarray) -> np.ndarray:
+    """codec.decode that handles video batches: (B, T, C, H, W) latents
+    are frame-folded through the 2-D VAE and refolded — the reference
+    decodes video latents frame-wise (train_acc.py:345,365).  4-D image
+    batches pass straight through ``codec.decode``."""
+    arr = np.asarray(arr)
+    if arr.ndim == 5:
+        B, T = arr.shape[:2]
+        dec = codec.decode(arr.reshape((-1,) + arr.shape[2:]))
+        return dec.reshape((B, T) + dec.shape[1:])
+    return codec.decode(arr)
 
 
 class IdentityCodec(LatentCodec):

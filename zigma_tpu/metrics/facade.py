@@ -47,7 +47,8 @@ class MyMetric:
                  extractor: Optional[Callable] = None,
                  logits_extractor: Optional[Callable] = None,
                  kid_subset_size: int = 50, prdc_k: int = 5,
-                 max_stored: int = 50_000):
+                 max_stored: int = 50_000,
+                 stream_extractors: Optional[dict] = None):
         unknown = set(choices) - set(_KNOWN)
         if unknown:
             raise ValueError(f"unknown metric choices: {unknown}")
@@ -71,7 +72,14 @@ class MyMetric:
         for c in self.choices:
             if c == "is":
                 continue
-            if extractor is None and c in ("sfid", "fdd"):
+            own = (stream_extractors or {}).get(c)
+            if own is not None and c in ("sfid", "fdd"):
+                # per-choice net override: keeps sfid/fdd on their own
+                # canonical streams even when the MAIN stream was replaced
+                # (e.g. degraded to patch statistics with DINOv2 cached)
+                stream = c
+                self.extractors.setdefault(stream, own)
+            elif extractor is None and c in ("sfid", "fdd"):
                 stream = c
                 self.extractors.setdefault(
                     stream,
@@ -216,7 +224,9 @@ class MyMetric:
 
 
 class VideoMetric(MyMetric):
-    """FVD-style container: videos (B, T, C, H, W) -> video features.
+    """FVD-style container: videos (B, T, H, W, C) -> video features
+    (the i3d extractor contract, features.py; MetricSuite transposes its
+    (B, T, C, H, W) driver layout before updating this container).
 
     The reference reshapes videos through a 224-resize then I3D
     (my_metrics.py:58-69); here the extractor owns that mapping:

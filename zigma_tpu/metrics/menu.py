@@ -46,7 +46,7 @@ from zigma_tpu.metrics.features import (
     video_patch_statistics_extractor,
 )
 
-__all__ = ["MetricSuite", "build_metric_suite",
+__all__ = ["MetricSuite", "build_metric_suite", "validate_choices",
            "REFERENCE_IMAGE_MENU", "REFERENCE_VIDEO_MENU"]
 
 # the reference's in-training menus (train_acc.py:398-405)
@@ -127,6 +127,28 @@ def _probe(name: str):
         return None
 
 
+def validate_choices(choices: Optional[Sequence[str]] = None,
+                     video: bool = False) -> list:
+    """Config-time validation of a metric-choice list: raises ValueError
+    on unknown names or 'fvd' in an image run.  Drivers call this at
+    startup so a typo'd ``eval_metrics`` fails before training, not at
+    the first eval boundary thousands of steps in.  None selects the
+    reference's menu for the run kind.  Returns the validated list."""
+    if choices is None:
+        choices = REFERENCE_VIDEO_MENU if video else REFERENCE_IMAGE_MENU
+    choices = list(choices)
+    unknown = set(choices) - {"fid", "sfid", "kid", "is", "prdc", "fdd",
+                              "fvd"}
+    if unknown:
+        raise ValueError(f"unknown metric choices: {sorted(unknown)}")
+    if "fvd" in choices and not video:
+        raise ValueError(
+            "metric 'fvd' requires a video run (5-D samples); it cannot "
+            "be computed for an image config (reference sample_acc.py:82-90 "
+            "builds it only for video runs)")
+    return choices
+
+
 def build_metric_suite(*, choices: Optional[Sequence[str]] = None,
                        video: bool = False, in_pixels: bool = True,
                        logger: Optional[logging.Logger] = None,
@@ -146,18 +168,7 @@ def build_metric_suite(*, choices: Optional[Sequence[str]] = None,
     ``suite.dropped`` names the choices that degraded away.
     """
     log = logger or logging.getLogger(__name__)
-    if choices is None:
-        choices = REFERENCE_VIDEO_MENU if video else REFERENCE_IMAGE_MENU
-    choices = list(choices)
-    unknown = set(choices) - {"fid", "sfid", "kid", "is", "prdc", "fdd",
-                              "fvd"}
-    if unknown:
-        raise ValueError(f"unknown metric choices: {sorted(unknown)}")
-    if "fvd" in choices and not video:
-        raise ValueError(
-            "metric 'fvd' requires a video run (5-D samples); it cannot "
-            "be computed for an image config (reference sample_acc.py:82-90 "
-            "builds it only for video runs)")
+    choices = validate_choices(choices, video=video)
 
     image_choices = [c for c in choices if c != "fvd"]
     kept, dropped = [], []
@@ -175,12 +186,16 @@ def build_metric_suite(*, choices: Optional[Sequence[str]] = None,
                 "NOT comparable to published numbers",
                 "" if in_pixels else " on raw latents")
 
+    stream_extractors = {}
     for c in image_choices:
         if c in ("fid", "kid", "prdc"):
             kept.append(c)
             continue
-        # is/sfid/fdd are defined by their nets; no degraded substitute
-        if degraded_main or not in_pixels:
+        # is/sfid/fdd are defined by their nets; no degraded substitute.
+        # Gating is per-choice: each probes its OWN net — fdd stays
+        # canonical when DINOv2 is cached even if the main fid stream
+        # degraded for lack of Inception weights
+        if not in_pixels:
             dropped.append(c)
             continue
         need = {"is": "inception_logits", "sfid": "inception_sfid",
@@ -192,6 +207,10 @@ def build_metric_suite(*, choices: Optional[Sequence[str]] = None,
             kept.append(c)
             if c == "is":
                 logits_extractor = fn
+            elif degraded_main:
+                # main extractor override would otherwise hijack this
+                # choice's stream (facade.py extractor contract)
+                stream_extractors[c] = fn
     for c in dropped:
         log.warning("metric %r dropped: its feature net is unavailable "
                     "(weights not cached%s)", c,
@@ -201,7 +220,8 @@ def build_metric_suite(*, choices: Optional[Sequence[str]] = None,
     if kept:
         image = MyMetric(choices=kept, extractor=extractor,
                          logits_extractor=logits_extractor,
-                         kid_subset_size=kid_subset_size, prdc_k=prdc_k)
+                         kid_subset_size=kid_subset_size, prdc_k=prdc_k,
+                         stream_extractors=stream_extractors or None)
 
     video_metric = None
     if "fvd" in choices:
