@@ -25,7 +25,7 @@ import numpy as np
 
 from zigma_tpu.config import Config, load_config
 from zigma_tpu.models import ZigMa
-from zigma_tpu.parallel import make_mesh, replicate, shard_batch
+from zigma_tpu.parallel import make_mesh, shard_batch, shard_train_state
 from zigma_tpu.train import (
     LATENT_SCALE,
     TrainState,
@@ -182,8 +182,21 @@ def main(argv=None):
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info("parameters: %.2fM", n_params / 1e6)
 
-    mesh = make_mesh()
-    state = replicate(TrainState.create(params, optimizer), mesh)
+    # mesh + state placement: pure DP replication by default (reference
+    # parity); parallel.tp adds a tensor-parallel axis, parallel.fsdp
+    # shards params/EMA/optimizer moments over 'data' (ZeRO-3 semantics,
+    # parallel/mesh.py) — the train step itself is identical either way
+    par = cfg.get("parallel") or {}
+    fsdp = bool(par.get("fsdp"))
+    fsdp_min = int(par.get("fsdp_min_size", 65536) or 65536)
+    mesh = make_mesh(model=int(par.get("tp", 1) or 1))
+    if fsdp or mesh.shape.get("model", 1) > 1:
+        logger.info("mesh %s, fsdp=%s", dict(mesh.shape), fsdp)
+
+    def place(s):
+        return shard_train_state(s, mesh, fsdp=fsdp, fsdp_min_size=fsdp_min)
+
+    state = place(TrainState.create(params, optimizer))
     del params
 
     ckpt_dir = os.path.join(run_dir, "checkpoints")
@@ -191,7 +204,7 @@ def main(argv=None):
     if resume:
         logger.info("resuming from %s", resume)
         state = restore_checkpoint(resume, jax.device_get(state))
-        state = replicate(state, mesh)
+        state = place(state)
 
     latent_scale = LATENT_SCALE if cfg.get("is_latent", True) else None
     loss_fn = make_diffusion_loss_fn(model, transport,

@@ -21,7 +21,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "zigma_param_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "zigma_param_sharding",
+           "train_state_sharding", "shard_train_state"]
 
 
 def make_mesh(data: int = -1, model: int = 1,
@@ -90,24 +91,91 @@ _TP_RULES = [
 ]
 
 
+def _path_name(path) -> str:
+    return "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+
+
+def _tp_spec(name: str, ndim: int, mesh: Mesh):
+    """TP PartitionSpec for a param path, or None when no rule applies
+    (also when the mesh has no model axis to shard over)."""
+    if mesh.shape.get("model", 1) > 1:
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, name):
+                extra = ndim - len(spec)
+                if extra > 0:  # stacked scan-over-layers leading axis
+                    spec = P(*([None] * extra), *spec)
+                return spec
+    return None
+
+
 def zigma_param_sharding(params, mesh: Mesh):
     """NamedShardings for a ZigMa param tree: TP rules above, replicated
     otherwise.  With mesh model=1 everything degenerates to replication
     (pure DP = reference parity)."""
 
-    def spec_for(path, x):
-        name = "/".join(
-            p.key if hasattr(p, "key") else str(p) for p in path)
-        if mesh.shape.get("model", 1) > 1:
-            for pattern, spec in _TP_RULES:
-                if re.match(pattern, name):
-                    extra = x.ndim - len(spec)
-                    if extra > 0:  # stacked scan-over-layers leading axis
-                        spec = P(*([None] * extra), *spec)
-                    return spec
-        return P()
-
     def map_fn(path, x):
-        return NamedSharding(mesh, spec_for(path, x))
+        spec = _tp_spec(_path_name(path), x.ndim, mesh)
+        return NamedSharding(mesh, spec if spec is not None else P())
 
     return jax.tree_util.tree_map_with_path(map_fn, params)
+
+
+# ---------------------------------------------------------------------------
+# FSDP: ZeRO-3-style parameter/EMA/optimizer-state sharding over 'data'
+# ---------------------------------------------------------------------------
+
+
+def _fsdp_add_data(shape, base_spec, n: int):
+    """Extend ``base_spec`` with 'data' on the largest still-unsharded dim
+    divisible by the data-axis size.  Leaves with no such dim keep
+    ``base_spec`` (replicated over 'data')."""
+    spec = list(base_spec) + [None] * (len(shape) - len(base_spec))
+    for d in sorted(range(len(shape)), key=lambda d: -shape[d]):
+        if spec[d] is None and shape[d] >= n and shape[d] % n == 0:
+            spec[d] = "data"
+            break
+    return P(*spec)
+
+
+def train_state_sharding(state, mesh: Mesh, fsdp: bool = False,
+                         fsdp_min_size: int = 65536):
+    """NamedShardings for a FULL TrainState pytree (params, EMA params,
+    optimizer moments, scalars).
+
+    Default: TP rules for matched params (no-op at mesh model=1),
+    replicated otherwise — reference-parity DDP, every chip holds the
+    whole state.
+
+    fsdp=True (beyond parity, no reference equivalent): additionally
+    shard every leaf of at least ``fsdp_min_size`` elements over the
+    'data' axis on its largest divisible dim — ZeRO-3 semantics.  The
+    optimizer moments mirror the param tree (their tree paths end with
+    the param path, so the TP regexes still match), which is where the
+    memory actually is: AdamW+EMA keeps 4 fp32 copies of the model, and
+    sharding them divides per-chip state memory by the data-axis size.
+    XLA inserts the all-gathers (params, forward/backward) and
+    reduce-scatters (grads) over ICI from the shardings alone — there is
+    no wrapper class, no hand-written collective, and the train step
+    function is byte-identical to the DDP one.
+    """
+    n = mesh.shape.get("data", 1)
+
+    def map_fn(path, x):
+        name = _path_name(path)
+        spec = _tp_spec(name, x.ndim, mesh)
+        if spec is None:
+            spec = P()
+        if fsdp and n > 1 and x.size >= max(int(fsdp_min_size), 1):
+            spec = _fsdp_add_data(x.shape, spec, n)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(map_fn, state)
+
+
+def shard_train_state(state, mesh: Mesh, fsdp: bool = False,
+                      fsdp_min_size: int = 65536):
+    """device_put a TrainState per ``train_state_sharding``.  With
+    fsdp=False and mesh model=1 this is exactly ``replicate``."""
+    sh = train_state_sharding(state, mesh, fsdp=fsdp,
+                              fsdp_min_size=fsdp_min_size)
+    return jax.tree.map(jax.device_put, state, sh)
