@@ -189,8 +189,14 @@ def main(argv=None):
     par = cfg.get("parallel") or {}
     fsdp = bool(par.get("fsdp"))
     fsdp_min = int(par.get("fsdp_min_size", 65536) or 65536)
-    mesh = make_mesh(model=int(par.get("tp", 1) or 1))
-    if fsdp or mesh.shape.get("model", 1) > 1:
+    tp = int(par.get("tp", 1) or 1)
+    pp = int(par.get("pp", 1) or 1)
+    if tp > 1 and pp > 1:
+        raise ValueError("parallel.tp and parallel.pp cannot be combined "
+                         "(yet): tensor-parallel shardings are invisible "
+                         "inside the pipeline's shard_map")
+    mesh = make_mesh(model=tp, pipe=pp)
+    if fsdp or tp > 1 or pp > 1:
         logger.info("mesh %s, fsdp=%s", dict(mesh.shape), fsdp)
 
     def place(s):
@@ -207,8 +213,24 @@ def main(argv=None):
         state = place(state)
 
     latent_scale = LATENT_SCALE if cfg.get("is_latent", True) else None
+    apply_fn = None
+    if pp > 1:
+        # pipeline-parallel training: the loss substitutes the pipelined
+        # forward (parallel/pipeline.py) for model.apply; grads/optimizer/
+        # EMA are unchanged, and stage weights stay put via the state
+        # shardings (train_state_sharding's 'pipe' rule)
+        from zigma_tpu.parallel import zigma_pipelined_apply
+
+        n_mb = int(par.get("pp_microbatches", 0) or 0) or None
+
+        def apply_fn(params, xt, t, y=None, train=False, rngs=None, **kw):
+            return zigma_pipelined_apply(
+                model, params, xt, t, y, mesh=mesh, train=train, rngs=rngs,
+                n_microbatches=n_mb, **kw)
+
     loss_fn = make_diffusion_loss_fn(model, transport,
-                                     latent_scale=latent_scale)
+                                     latent_scale=latent_scale,
+                                     apply_fn=apply_fn)
     ema_rate = float(cfg.get("ema_rate", 0.9999))
     # chain_steps > 1: N optimizer steps per dispatch via one jitted
     # lax.scan — harvests the measured ~10% per-dispatch overhead of

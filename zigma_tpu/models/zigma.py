@@ -278,8 +278,48 @@ class ZigMa(nn.Module):
             self.scan_type, self.depth, patch_side,
             video_frames=self.video_frames, seed=self.path_seed)
 
+    @nn.nowrap
+    def _scan_block_kwargs(self) -> dict:
+        """Constructor kwargs for the uniform ZigMaBlock used by the
+        scan-over-layers branch (one block definition, per-layer params
+        stacked on axis 0 under ``params['params']['blocks']``).  Shared
+        with ``parallel.pipeline``, whose per-stage apply must match this
+        param layout exactly."""
+        parallel_perms = None
+        if self.scan_type.startswith("parallelN"):
+            parallel_perms = parallel_scan_perms(
+                self.scan_type, self.img_dim // self.patch_size)
+        mixer_cfg = dict(
+            scan_type=self.scan_type,
+            video_frames=self.video_frames, st=None,
+            parallel_perms=parallel_perms,
+            scan_backend=self.scan_backend, scan_chunk=self.scan_chunk,
+            **(self.ssm_cfg or {}))
+        return dict(
+            mixer_cfg=mixer_cfg,
+            dim=self.embed_dim, has_text=self.has_text,
+            rms_norm=self.rms_norm, norm_epsilon=self.norm_epsilon,
+            residual_in_fp32=self.residual_in_fp32, n_layer=self.depth,
+            dtype=self.dtype)
+
+    @nn.nowrap
+    def scan_block_def(self) -> "ZigMaBlock":
+        """Unbound block module matching the stacked scan-over-layers
+        param layout — the per-stage workhorse for pipeline parallelism
+        (``parallel.pipeline.zigma_pipelined_apply``)."""
+        return ZigMaBlock(**self._scan_block_kwargs())
+
     @nn.compact
-    def __call__(self, x, t, y=None, train: bool = False):
+    def __call__(self, x, t, y=None, train: bool = False,
+                 _stage: str = "all", _blocks_in=None):
+        # _stage/_blocks_in: pipeline-parallel seams (parallel/pipeline.py).
+        # "prepare" stops before the block stack and returns its inputs;
+        # "finalize" takes the stack's outputs and runs the head.  "all"
+        # (every other caller) is the full reference forward.
+        if _stage == "finalize":
+            h, residual = _blocks_in
+            return self._finalize(
+                h, residual, use_dp=train and self.drop_path_rate > 0)
         B = x.shape[0]
         h = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
                        name="x_embedder")(x)
@@ -318,6 +358,11 @@ class ZigMa(nn.Module):
             h = (h.reshape(B, self.video_frames, -1, self.embed_dim)
                  + tpe.astype(self.dtype)[:, :, None]).reshape(B, L, self.embed_dim)
 
+        if _stage == "prepare":
+            res0 = jnp.zeros(
+                h.shape, jnp.float32 if self.residual_in_fp32 else h.dtype)
+            return h, res0, c, (y_emb if self.has_text else None)
+
         paths, paths_rev, st_order = self._layer_paths()
         parallel_perms = None
         if self.scan_type.startswith("parallelN"):
@@ -342,12 +387,6 @@ class ZigMa(nn.Module):
                 :self.depth]
 
         if scan_layers:
-            mixer_cfg = dict(
-                scan_type=self.scan_type,
-                video_frames=self.video_frames, st=None,
-                parallel_perms=parallel_perms,
-                scan_backend=self.scan_backend, scan_chunk=self.scan_chunk,
-                **(self.ssm_cfg or {}))
             has_perms = paths[0] is not None
             # use_pe=3 (per-layer PEs, real params here unlike the
             # reference's unregistered aliases, model_zigma.py:644-651):
@@ -396,7 +435,7 @@ class ZigMa(nn.Module):
                 xs = xs + (jnp.asarray(inter_dpr, jnp.float32),)
             if pe_layers is not None:
                 xs = (pe_layers,) + xs
-            block = block_cls(mixer_cfg=mixer_cfg, **block_kw, name="blocks")
+            block = block_cls(**self._scan_block_kwargs(), name="blocks")
             # residual=0 (not None): the scan carry structure must be fixed;
             # add_norm(x, ..., residual=0) == add_norm(x, ..., None)
             res0 = jnp.zeros(
@@ -429,8 +468,14 @@ class ZigMa(nn.Module):
                         h, residual, c, text, None, None,
                         float(inter_dpr[i]) if use_dp else None)
 
-        # final add-norm (prenorm=False) + head (model_zigma.py:963-988);
-        # the reference also drop-paths the last hidden state here
+        return self._finalize(h, residual, use_dp)
+
+    def _finalize(self, h, residual, use_dp: bool):
+        """Final add-norm (prenorm=False) + head (model_zigma.py:963-988);
+        the reference also drop-paths the last hidden state here.  Called
+        from ``__call__`` (so param creation stays inside the compact
+        context) — directly at the end of the full forward, or via
+        ``_stage="finalize"`` after a pipeline-parallel block stack."""
         if use_dp:
             h = drop_path(h, self.drop_path_rate, self.make_rng("dropout"))
         normf_w = self.param("norm_f_weight", nn.initializers.ones,

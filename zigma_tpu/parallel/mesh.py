@@ -25,15 +25,24 @@ __all__ = ["make_mesh", "shard_batch", "replicate", "zigma_param_sharding",
            "train_state_sharding", "shard_train_state"]
 
 
-def make_mesh(data: int = -1, model: int = 1,
+def make_mesh(data: int = -1, model: int = 1, pipe: int = 1,
               devices: Optional[list] = None) -> Mesh:
-    """Create a ('data', 'model') mesh.  data=-1 uses all remaining devices."""
+    """Create a ('data', 'model'[, 'pipe']) mesh.  data=-1 uses all
+    remaining devices.  The 'pipe' axis (pipeline parallelism,
+    parallel/pipeline.py) is innermost so stage-to-stage ppermute hops
+    ride adjacent ICI links; it is only added when pipe > 1 so existing
+    two-axis meshes are unchanged."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        assert n % (model * pipe) == 0, \
+            f"{n} devices not divisible by model={model} x pipe={pipe}"
+        data = n // (model * pipe)
+    assert data * model * pipe == n, \
+        f"mesh {data}x{model}x{pipe} != {n} devices"
+    if pipe > 1:
+        return Mesh(np.asarray(devices).reshape(data, model, pipe),
+                    ("data", "model", "pipe"))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
@@ -157,14 +166,25 @@ def train_state_sharding(state, mesh: Mesh, fsdp: bool = False,
     reduce-scatters (grads) over ICI from the shardings alone — there is
     no wrapper class, no hand-written collective, and the train step
     function is byte-identical to the DDP one.
+
+    With a 'pipe' axis in the mesh (pipeline parallelism), the stacked
+    scan-over-layers block leaves (path containing 'blocks', leading
+    depth axis) shard that axis over 'pipe' — matching the shard_map
+    in_specs of parallel.pipeline, so each stage's weights, EMA, and
+    moments live only on that stage.
     """
     n = mesh.shape.get("data", 1)
+    n_pipe = mesh.shape.get("pipe", 1)
 
     def map_fn(path, x):
         name = _path_name(path)
         spec = _tp_spec(name, x.ndim, mesh)
         if spec is None:
             spec = P()
+        if (n_pipe > 1 and re.search(r"(^|/)blocks($|/)", name)
+                and x.ndim >= 1 and x.shape[0] % n_pipe == 0):
+            rest = list(spec)[1:] if len(spec) > 0 else []
+            spec = P("pipe", *rest)
         if fsdp and n > 1 and x.size >= max(int(fsdp_min_size), 1):
             spec = _fsdp_add_data(x.shape, spec, n)
         return NamedSharding(mesh, spec)

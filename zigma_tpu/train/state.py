@@ -156,9 +156,18 @@ def create_chained_train_step(
 
 
 def make_diffusion_loss_fn(model, transport, train: bool = True,
-                           latent_scale: Optional[float] = None):
+                           latent_scale: Optional[float] = None,
+                           apply_fn=None):
     """Standard ZigMa loss closure: scale latents, flow-matching MSE
-    (train_acc.py:426-447)."""
+    (train_acc.py:426-447).
+
+    apply_fn: optional replacement for ``model.apply`` with the same
+    calling convention ``(params, xt, t, y, train=..., rngs=..., **kw)``
+    — the hook pipeline parallelism uses to substitute
+    ``parallel.pipeline.zigma_pipelined_apply``.
+    """
+    if apply_fn is None:
+        apply_fn = model.apply
 
     def loss_fn(params, rng, batch):
         x = batch["x"]
@@ -167,7 +176,7 @@ def make_diffusion_loss_fn(model, transport, train: bool = True,
         y = batch.get("y")
         rng, k_drop, k_label = jax.random.split(rng, 3)
         rngs = ({"dropout": k_drop, "label_drop": k_label} if train else {})
-        model_fn = lambda xt, t, **kw: model.apply(
+        model_fn = lambda xt, t, **kw: apply_fn(
             params, xt, t, y, train=train, rngs=rngs, **kw)
         terms = transport.training_losses(model_fn, rng, x)
         return jnp.mean(terms["loss"])
