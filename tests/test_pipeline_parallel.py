@@ -11,8 +11,6 @@ gradients, remat, DP composition, the train-state 'pipe' shardings, and
 the CLI wiring (parallel.pp).
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -188,7 +188,8 @@ def main(argv=None):
     # parallel/mesh.py) — the train step itself is identical either way
     par = cfg.get("parallel") or {}
     fsdp = bool(par.get("fsdp"))
-    fsdp_min = int(par.get("fsdp_min_size", 65536) or 65536)
+    _fm = par.get("fsdp_min_size")
+    fsdp_min = 65536 if _fm is None else int(_fm)  # 0 = shard everything
     tp = int(par.get("tp", 1) or 1)
     pp = int(par.get("pp", 1) or 1)
     if tp > 1 and pp > 1:
@@ -209,8 +210,10 @@ def main(argv=None):
     resume = cfg.get("ckpt") or latest_checkpoint(ckpt_dir)
     if resume:
         logger.info("resuming from %s", resume)
-        state = restore_checkpoint(resume, jax.device_get(state))
-        state = place(state)
+        # restore straight into the placed state's shardings (no host
+        # round-trip: an FSDP/PP state sharded across processes has
+        # non-addressable shards, so device_get would crash multi-host)
+        state = restore_checkpoint(resume, state)
 
     latent_scale = LATENT_SCALE if cfg.get("is_latent", True) else None
     apply_fn = None

@@ -32,10 +32,14 @@ def _checkpointer():
 
 def save_checkpoint(ckpt_dir: str, state, extra: Optional[dict] = None):
     """Save {state, extra} at ``ckpt_dir/{step:07d}``."""
-    step = int(jax.device_get(state.step))
+    step = int(jax.device_get(state.step))  # replicated scalar: host-safe
     path = os.path.join(os.path.abspath(ckpt_dir), f"{step:07d}")
     ckptr = _checkpointer()
-    payload = {"state": jax.device_get(state)}
+    # device arrays pass through as-is: orbax writes each process's
+    # addressable shards, which is the ONLY correct path for FSDP/PP
+    # states sharded across processes (a jax.device_get here would raise
+    # on non-addressable shards in multi-host runs)
+    payload = {"state": state}
     if extra:
         payload["extra"] = extra
     ckptr.save(path, payload, force=True)
@@ -56,9 +60,23 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, target_state, extra_target: Optional[dict] = None):
-    """Restore into the given abstract/concrete state pytree."""
+    """Restore into the given abstract/concrete state pytree.
+
+    ``jax.Array`` leaves in the target become abstract
+    shape/dtype/sharding specs, so the restored state comes back with
+    the same placement — including FSDP/PP layouts sharded across
+    processes, where round-tripping through a host template would raise
+    on non-addressable shards.  numpy/host leaves restore host-side
+    unchanged (the sample/convert CLIs' path).
+    """
+    def _absify(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return x
+
     ckptr = _checkpointer()
-    payload = {"state": target_state}
+    payload = {"state": jax.tree.map(_absify, target_state)}
     if extra_target is not None:
         payload["extra"] = extra_target
     restored = ckptr.restore(path, payload)
