@@ -6,6 +6,7 @@ from zigma_tpu.models.embedders import (
     get_2d_sincos_pos_embed,
 )
 from zigma_tpu.models.mamba import Mamba, MambaCache
+from zigma_tpu.models.mamba2 import Mamba2, Mamba2Cache
 from zigma_tpu.models.zigma import (
     ZIGMA_PRESETS,
     zigma_flops,
@@ -24,6 +25,8 @@ __all__ = [
     "get_2d_sincos_pos_embed",
     "Mamba",
     "MambaCache",
+    "Mamba2",
+    "Mamba2Cache",
     "ZIGMA_PRESETS",
     "CrossAttention",
     "FinalLayer",

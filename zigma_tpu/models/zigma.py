@@ -39,6 +39,7 @@ from zigma_tpu.models.embedders import (
 )
 from zigma_tpu.models.inits import rescaled_linear_init, torch_linear_init
 from zigma_tpu.models.mamba import Mamba
+from zigma_tpu.models.mamba2 import Mamba2
 from zigma_tpu.ops.norms import add_norm, layer_norm
 from zigma_tpu.ops.paths import build_layer_paths, parallel_scan_perms
 
@@ -170,10 +171,16 @@ class ZigMaBlock(nn.Module):
                        name="adaLN")(nn.silu(c))
         parts = jnp.split(mod, n_mod, axis=-1)
 
-        mixer = Mamba(
+        # ssm_version 2 swaps the Mamba-1 selective scan for the Mamba-2
+        # SSD recurrence (models/mamba2.py — MXU-resident, beyond
+        # reference parity); the scan-type/permutation dispatch surface
+        # is identical between the two mixers
+        m_cfg = dict(self.mixer_cfg)
+        mixer_cls = {1: Mamba, 2: Mamba2}[int(m_cfg.pop("ssm_version", 1))]
+        mixer = mixer_cls(
             d_model=self.dim, dtype=self.dtype,
             out_proj_kernel_init=rescaled_linear_init(self.n_layer),
-            name="mixer", **self.mixer_cfg)
+            name="mixer", **m_cfg)
         x = x + parts[2][:, None] * mixer(
             modulate(x, parts[0], parts[1]), perm=perm, perm_rev=perm_rev)
 

@@ -16,6 +16,7 @@ from zigma_tpu.ops.causal_conv1d import (
     causal_conv1d_update,
 )
 from zigma_tpu.ops.norms import rms_norm, layer_norm, add_norm
+from zigma_tpu.ops.ssd import ssd_scan, ssd_scan_ref, ssd_state_update
 from zigma_tpu.ops.scan_pallas import (
     scan_core_pallas,
     selective_scan_pallas,
@@ -36,6 +37,9 @@ __all__ = [
     "rms_norm",
     "layer_norm",
     "add_norm",
+    "ssd_scan",
+    "ssd_scan_ref",
+    "ssd_state_update",
     "scan_core_pallas",
     "selective_scan_pallas",
 ]
