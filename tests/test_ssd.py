@@ -297,6 +297,26 @@ class TestZigMaMamba2:
             np.asarray(m_scan.apply({"params": p}, x, t)),
             atol=2e-5, rtol=1e-4)
 
+    def test_tp_sharding_and_forward(self):
+        """zigma_param_sharding on the Mamba2 tree: the Mamba-1 rank rules
+        (A_log 2-D) must not crash on the scalar-decay homonyms, and the
+        DPxTP forward must execute (GSPMD preserves semantics; the rules
+        are placement hints)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from zigma_tpu.parallel import make_mesh, zigma_param_sharding
+
+        mesh = make_mesh(data=4, model=2)
+        model = self._model(scan_layers=False)
+        x = jnp.zeros((4, 4, 8, 8))
+        t = jnp.zeros((4,))
+        params = model.init(jax.random.PRNGKey(0), x, t)
+        shardings = zigma_param_sharding(params, mesh)
+        params = jax.tree.map(jax.device_put, params, shardings)
+        x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))(
+            params, x_sh, t)
+        assert out.shape == x.shape and jnp.isfinite(out).all()
+
     def test_train_step_smoke(self):
         """One jitted grad step through the Mamba2 denoiser."""
         model = self._model()

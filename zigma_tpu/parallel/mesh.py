@@ -111,6 +111,12 @@ def _tp_spec(name: str, ndim: int, mesh: Mesh):
         for pattern, spec in _TP_RULES:
             if re.match(pattern, name):
                 extra = ndim - len(spec)
+                if extra < 0:
+                    # rank mismatch: the rule was written for the Mamba-1
+                    # param shapes (e.g. A_log (d_inner, d_state)); a
+                    # lower-rank homonym (Mamba-2's scalar-decay A_log is
+                    # (nheads,)) replicates instead of crashing NamedSharding
+                    return None
                 if extra > 0:  # stacked scan-over-layers leading axis
                     spec = P(*([None] * extra), *spec)
                 return spec

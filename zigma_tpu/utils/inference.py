@@ -45,8 +45,10 @@ __all__ = ["cast_params_for_inference"]
 # Modules whose whole subtree feeds the fp32 conditioning path.
 _KEEP_MODULES = frozenset({"t_embedder", "y_embedder", "x_embedder"})
 
-# fp32-contract leaves by exact name.
-_KEEP_LEAF = frozenset({"A_log", "D", "dt_proj_bias",
+# fp32-contract leaves by exact name ("dt_bias" is the Mamba-2 SSD
+# branch's delta bias, models/mamba2.py — same fp32 contract as Mamba-1's
+# "dt_proj_bias").
+_KEEP_LEAF = frozenset({"A_log", "D", "dt_proj_bias", "dt_bias",
                         "temporal_pos_embedding", "embedding"})
 
 # fp32-contract leaves by prefix: pos_embed / pos_embed_<i> (use_pe=3
