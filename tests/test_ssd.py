@@ -256,6 +256,50 @@ class TestMamba2:
             atol=1e-4, rtol=1e-3)
 
 
+class TestMamba2LM:
+    """Mamba-2 in the LM stack (ssm_cfg.ssm_version=2): forward, prefill
+    cache consistency, compiled greedy generate."""
+
+    def _lm(self):
+        from zigma_tpu.models.lm import MambaLMHeadModel
+
+        return MambaLMHeadModel(
+            d_model=32, n_layer=2, vocab_size=32, rms_norm=True,
+            ssm_cfg={"ssm_version": 2, "d_state": 8, "headdim": 16})
+
+    def test_prefill_cache_matches_steps(self):
+        from zigma_tpu.models.lm import MambaLMHeadModel
+
+        m = self._lm()
+        ids = jnp.array([[5, 3, 8, 1, 9, 2, 7, 4]])
+        params = m.init(jax.random.PRNGKey(0), ids)
+        logits_p, caches_p = m.apply(params, ids,
+                                     method=MambaLMHeadModel.prefill)
+        caches_s = m.init_caches(1)
+        for i in range(ids.shape[1]):
+            logits_s, caches_s = m.apply(params, ids[:, i:i + 1], caches_s,
+                                         method=MambaLMHeadModel.step)
+        np.testing.assert_allclose(np.asarray(logits_p),
+                                   np.asarray(logits_s[:, 0]),
+                                   atol=2e-4, rtol=1e-3)
+        for (cp, sp), (cs, ss) in zip(caches_p, caches_s):
+            np.testing.assert_allclose(np.asarray(cp), np.asarray(cs),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(sp), np.asarray(ss),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_generate_greedy(self):
+        from zigma_tpu.models.lm import generate
+
+        m = self._lm()
+        ids = jnp.array([[1, 2, 3]])
+        params = m.init(jax.random.PRNGKey(0), ids)
+        out1 = generate(m, params, ids, max_new_tokens=5)
+        out2 = generate(m, params, ids, max_new_tokens=5)
+        assert out1.shape == (1, 8)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
 class TestZigMaMamba2:
     """ZigMa with ssm_cfg={'ssm_version': 2}: the MXU-mixer denoiser."""
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from zigma_tpu.models.inits import rescaled_linear_init
 from zigma_tpu.models.mamba import Mamba, MambaCache
+from zigma_tpu.models.mamba2 import Mamba2, Mamba2Cache
 from zigma_tpu.ops.norms import add_norm
 
 __all__ = ["MixerModel", "MambaLMHeadModel", "generate"]
@@ -49,11 +50,15 @@ class _LMBlock(nn.Module):
                                       (self.d_model,), jnp.float32)
         self.norm_bias = (None if self.rms_norm else self.param(
             "norm_bias", nn.initializers.zeros, (self.d_model,), jnp.float32))
-        self.mixer = Mamba(
+        # ssm_version 2 selects the Mamba-2 SSD mixer (models/mamba2.py,
+        # beyond reference parity — same step/prefill interface)
+        cfg = dict(self.ssm_cfg or {})
+        mixer_cls = {1: Mamba, 2: Mamba2}[int(cfg.pop("ssm_version", 1))]
+        self.mixer = mixer_cls(
             d_model=self.d_model, scan_type="v1", layer_idx=self.layer_idx,
             dtype=self.dtype,
             out_proj_kernel_init=rescaled_linear_init(self.n_layer),
-            **(self.ssm_cfg or {}), name="mixer")
+            **cfg, name="mixer")
 
     def _prenorm(self, x, residual):
         return add_norm(
@@ -188,6 +193,14 @@ class MambaLMHeadModel(nn.Module):
     def init_caches(self, batch: int):
         cfg = self.ssm_cfg or {}
         d_inner = int(cfg.get("expand", 2) * self.d_model)
+        if int(cfg.get("ssm_version", 1)) == 2:
+            d_state = cfg.get("d_state", 64)
+            headdim = cfg.get("headdim", 64)
+            conv_dim = d_inner + 2 * cfg.get("ngroups", 1) * d_state
+            return tuple(
+                Mamba2Cache.init(batch, conv_dim, cfg.get("d_conv", 4),
+                                 d_inner // headdim, headdim, d_state)
+                for _ in range(self.n_layer))
         return tuple(
             MambaCache.init(batch, d_inner, cfg.get("d_conv", 4),
                             cfg.get("d_state", 16))

@@ -161,31 +161,35 @@ def _ssd_chunked(x, dt, A, B, C, D, z, dt_bias, dt_softplus,
     Cc = C.reshape(batch, nc, Q, G, N)
     Ac = A.astype(jnp.float32).reshape(G, Hg)
 
-    la = dtc * Ac                                           # <= 0
-    cum = jnp.cumsum(la, axis=2)                            # (b,nc,Q,G,Hg)
+    # fold dt into the value stream ONCE: xdt carries the dt_s factor of
+    # both the intra-chunk mask (M_{t,s} = exp(.)·dt_s) and the chunk
+    # aggregate (S_c = Σ exp(.)·dt_s·B_s⊗x_s) — one (b,L,H,P) multiply
+    # instead of a (Q,Q)-sized and a (Q,)-sized one (HBM-bound op;
+    # the matmuls themselves are ~free on the MXU)
+    xdt = (xc.astype(jnp.float32) * dtc[..., None]).astype(mm)
 
-    # ---- intra-chunk: Y = ((C B^T) ⊙ M) X per (chunk, head) ------------
+    # head-major cumulative log decay: (b, nc, G, Hg, Q), <= 0
+    cum = jnp.cumsum(jnp.transpose(dtc, (0, 1, 3, 4, 2)) *
+                     Ac[..., None], axis=-1)
+
+    # ---- intra-chunk: Y = ((C B^T) ⊙ M) (dt·X) per (chunk, head) -------
     cb = jnp.einsum("bcqgn,bcsgn->bcgqs", Cc.astype(mm), Bc.astype(mm),
                     preferred_element_type=jnp.float32)     # (b,nc,G,Q,Q)
-    # M_{t,s} = exp(cum_t − cum_s) · dt_s  for s <= t, else 0  (fp32)
-    seg = (cum[:, :, :, None] - cum[:, :, None, :])         # (b,nc,t,s,G,Hg)
-    seg = jnp.transpose(seg, (0, 1, 4, 5, 2, 3))            # (b,nc,G,Hg,t,s)
+    seg = cum[..., :, None] - cum[..., None, :]             # (b,nc,G,Hg,t,s)
     mask = jnp.tril(jnp.ones((Q, Q), bool))
     decay = jnp.where(mask, jnp.exp(jnp.where(mask, seg, 0.0)), 0.0)
-    dts = jnp.transpose(dtc, (0, 1, 3, 4, 2))               # (b,nc,G,Hg,s)
-    scores = cb[:, :, :, None] * decay * dts[:, :, :, :, None, :]
-    y_intra = jnp.einsum("bcghts,bcsghp->bctghp", scores.astype(mm),
-                         xc.astype(mm),
-                         preferred_element_type=jnp.float32)
+    scores = (cb[:, :, :, None] * decay).astype(mm)
+    y_intra = jnp.einsum("bcghts,bcsghp->bctghp", scores, xdt,
+                         preferred_element_type=mm)
 
-    # ---- chunk aggregates: S_c = (B · decay_to_end · dt)^T X ------------
-    dte = jnp.exp(cum[:, :, -1:, :, :] - cum) * dtc         # (b,nc,Q,G,Hg)
-    s_chunk = jnp.einsum("bcqgn,bcqgh,bcqghp->bcghpn",
-                         Bc.astype(mm), dte.astype(mm), xc.astype(mm),
+    # ---- chunk aggregates: S_c = (B · decay_to_end)^T (dt·X) ------------
+    dte = jnp.exp(cum[..., -1:] - cum)                      # (b,nc,G,Hg,Q)
+    s_chunk = jnp.einsum("bcqgn,bcghq,bcqghp->bcghpn",
+                         Bc.astype(mm), dte.astype(mm), xdt,
                          preferred_element_type=jnp.float32)
 
     # ---- inter-chunk fp32 state recurrence over nc chunk aggregates -----
-    a_chunk = jnp.exp(cum[:, :, -1])                        # (b,nc,G,Hg)
+    a_chunk = jnp.exp(cum[..., -1])                         # (b,nc,G,Hg)
     S0 = (jnp.zeros((batch, G, Hg, P, N), jnp.float32) if initial_state is None
           else initial_state.astype(jnp.float32).reshape(
               batch, G, Hg, P, N))
@@ -201,13 +205,13 @@ def _ssd_chunked(x, dt, A, B, C, D, z, dt_bias, dt_softplus,
     S_prev = jnp.moveaxis(S_prevs, 0, 1)                    # (b,nc,G,Hg,P,N)
 
     # ---- inter-chunk contribution: Y += (C · decay_from_start) S_prev ---
-    cdec = Cc.astype(jnp.float32)[:, :, :, :, None, :] * \
-        jnp.exp(cum)[..., None]                             # (b,nc,Q,G,Hg,N)
+    cdec = (Cc.astype(jnp.float32)[:, :, :, :, None, :] *
+            jnp.transpose(jnp.exp(cum), (0, 1, 4, 2, 3))[..., None])
     y_inter = jnp.einsum("bcqghn,bcghpn->bcqghp", cdec.astype(mm),
-                         S_prev.astype(mm),
-                         preferred_element_type=jnp.float32)
+                         S_prev.astype(mm), preferred_element_type=mm)
 
-    y = (y_intra + y_inter).reshape(batch, nc * Q, H, P)[:, :L]
+    y = (y_intra.astype(jnp.float32) + y_inter.astype(jnp.float32)
+         ).reshape(batch, nc * Q, H, P)[:, :L]
     if pad:
         x = x[:, :L]
     y = _skip_gate(y, x, D, z)
