@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["selective_scan_seq_parallel"]
+__all__ = ["selective_scan_seq_parallel", "ssd_seq_parallel"]
 
 
 def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
@@ -93,3 +93,47 @@ def selective_scan_seq_parallel(u, delta, A, B, C, D=None, z=None,
     if z is not None:
         out = out * jax.nn.silu(z.astype(jnp.float32))
     return out.astype(u.dtype)
+
+
+def ssd_seq_parallel(x, dt, A, B, C, D=None, z=None, dt_bias=None,
+                     dt_softplus: bool = False, axis_name: str = "seq",
+                     chunk: int = 128):
+    """Sequence-parallel Mamba-2 SSD scan (ops/ssd.py) over ``axis_name``.
+
+    Same two-pass associative-prefix structure as
+    :func:`selective_scan_seq_parallel`, simpler because the SSD decay is a
+    SCALAR per (batch, head): the shard aggregate is ``(log_a (b, H),
+    state (b, H, P, N))`` and ``ssd_scan`` natively threads
+    ``initial_state``/``return_last_state``.  Call inside shard_map with
+    x/dt/B/C/z sharded on L and A/D/dt_bias replicated.  Exact forward and
+    backward (AD through both passes and the all_gather).
+    """
+    from zigma_tpu.ops.ssd import ssd_scan
+
+    idx = jax.lax.axis_index(axis_name)
+    n_shards = jax.lax.axis_size(axis_name)
+
+    # --- pass 1: local scan from zero; expose (log decay, final state) ----
+    _, s_local = ssd_scan(x, dt, A, B, C, dt_bias=dt_bias,
+                          dt_softplus=dt_softplus, return_last_state=True,
+                          chunk=chunk)
+    dtv = dt.astype(jnp.float32)
+    if dt_bias is not None:
+        dtv = dtv + dt_bias.astype(jnp.float32)[None, None]
+    if dt_softplus:
+        dtv = jax.nn.softplus(dtv)
+    log_a = jnp.sum(dtv, axis=1) * A.astype(jnp.float32)[None]   # (b, H)
+
+    # --- prefix exchange (same masked log-domain form as the Mamba-1
+    # path: mask INSIDE the exponent to avoid the where-grad inf trap) ----
+    log_as = jax.lax.all_gather(log_a, axis_name)                # (S, b, H)
+    ss = jax.lax.all_gather(s_local, axis_name)                  # (S,b,H,P,N)
+    cum = jnp.cumsum(log_as, axis=0)
+    upto_here = jnp.where(idx > 0, cum[jnp.maximum(idx - 1, 0)], 0.0)
+    mask = (jnp.arange(n_shards) < idx)[:, None, None]
+    log_decay = jnp.where(mask, upto_here[None] - cum, -1e30)
+    x_in = jnp.sum(jnp.exp(log_decay)[..., None, None] * ss, axis=0)
+
+    # --- pass 2: exact local outputs seeded with the incoming state -------
+    return ssd_scan(x, dt, A, B, C, D=D, z=z, dt_bias=dt_bias,
+                    dt_softplus=dt_softplus, initial_state=x_in, chunk=chunk)
