@@ -161,31 +161,29 @@ def _ssd_chunked(x, dt, A, B, C, D, z, dt_bias, dt_softplus,
     Cc = C.reshape(batch, nc, Q, G, N)
     Ac = A.astype(jnp.float32).reshape(G, Hg)
 
-    # fold dt into the value stream ONCE: xdt carries the dt_s factor of
-    # both the intra-chunk mask (M_{t,s} = exp(.)·dt_s) and the chunk
-    # aggregate (S_c = Σ exp(.)·dt_s·B_s⊗x_s) — one (b,L,H,P) multiply
-    # instead of a (Q,Q)-sized and a (Q,)-sized one (HBM-bound op;
-    # the matmuls themselves are ~free on the MXU)
-    xdt = (xc.astype(jnp.float32) * dtc[..., None]).astype(mm)
+    # head-major cumulative log decay: (b, nc, G, Hg, Q), <= 0.  dt stays
+    # a factor of the (elementwise, XLA-fused) mask/aggregate chains —
+    # folding it into the value stream instead was measured SLOWER (it
+    # materializes a new (b,L,H,P) matmul operand while the multiply it
+    # replaces fuses for free into the scores producer)
+    dth = jnp.transpose(dtc, (0, 1, 3, 4, 2))               # (b,nc,G,Hg,Q)
+    cum = jnp.cumsum(dth * Ac[..., None], axis=-1)
 
-    # head-major cumulative log decay: (b, nc, G, Hg, Q), <= 0
-    cum = jnp.cumsum(jnp.transpose(dtc, (0, 1, 3, 4, 2)) *
-                     Ac[..., None], axis=-1)
-
-    # ---- intra-chunk: Y = ((C B^T) ⊙ M) (dt·X) per (chunk, head) -------
+    # ---- intra-chunk: Y = ((C B^T) ⊙ M) X per (chunk, head) ------------
     cb = jnp.einsum("bcqgn,bcsgn->bcgqs", Cc.astype(mm), Bc.astype(mm),
                     preferred_element_type=jnp.float32)     # (b,nc,G,Q,Q)
+    # M_{t,s} = exp(cum_t − cum_s) · dt_s  for s <= t, else 0  (fp32)
     seg = cum[..., :, None] - cum[..., None, :]             # (b,nc,G,Hg,t,s)
     mask = jnp.tril(jnp.ones((Q, Q), bool))
     decay = jnp.where(mask, jnp.exp(jnp.where(mask, seg, 0.0)), 0.0)
-    scores = (cb[:, :, :, None] * decay).astype(mm)
-    y_intra = jnp.einsum("bcghts,bcsghp->bctghp", scores, xdt,
+    scores = (cb[:, :, :, None] * decay * dth[..., None, :]).astype(mm)
+    y_intra = jnp.einsum("bcghts,bcsghp->bctghp", scores, xc.astype(mm),
                          preferred_element_type=mm)
 
-    # ---- chunk aggregates: S_c = (B · decay_to_end)^T (dt·X) ------------
-    dte = jnp.exp(cum[..., -1:] - cum)                      # (b,nc,G,Hg,Q)
+    # ---- chunk aggregates: S_c = (B · decay_to_end · dt)^T X ------------
+    dte = jnp.exp(cum[..., -1:] - cum) * dth                # (b,nc,G,Hg,Q)
     s_chunk = jnp.einsum("bcqgn,bcghq,bcqghp->bcghpn",
-                         Bc.astype(mm), dte.astype(mm), xdt,
+                         Bc.astype(mm), dte.astype(mm), xc.astype(mm),
                          preferred_element_type=jnp.float32)
 
     # ---- inter-chunk fp32 state recurrence over nc chunk aggregates -----
