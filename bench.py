@@ -404,6 +404,7 @@ def kernel_check():
                 "ok": all(v["ok"] for v in entry.values())}))
 
     ok_all &= _kernel_check_complex_grouped(cpu, dev, results)
+    ok_all &= _kernel_check_ssd(cpu, dev, results)
 
     print(json.dumps({
         "metric": "pallas_scan_on_hw_correctness",
@@ -490,6 +491,110 @@ def _kernel_check_complex_grouped(cpu, dev, results):
             entry[f"g{i}"] = {"max_abs_err": round(float(diff.max()), 8),
                               "tol": f"rtol={gr},atol={ga}",
                               "golden": "cpu chunked", "ok": passed}
+        results[tag] = entry
+        print(json.dumps({"impl": tag, **{
+            k: v["max_abs_err"] for k, v in entry.items()},
+            "ok": all(v["ok"] for v in entry.values())}))
+    return ok_all
+
+
+def _ssd_truth_f64(x, dt, A, B, C, Dskip, dtb):
+    """float64 numpy sequential truth for the SSD recurrence
+    (ops/ssd.py module docstring shapes; dt_softplus + dt_bias applied)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    dt = np.asarray(dt, np.float64)
+    A = np.asarray(A, np.float64)
+    Bn = np.asarray(B, np.float64)
+    Cn = np.asarray(C, np.float64)
+    Dn = np.asarray(Dskip, np.float64)
+    dtb = np.asarray(dtb, np.float64)
+    b, L, H, P = x.shape
+    G = Bn.shape[2]
+    rep = H // G
+    dtv = np.logaddexp(0.0, dt + dtb)              # stable softplus
+    Bh = np.repeat(Bn, rep, axis=2)                # (b, L, H, N)
+    Ch = np.repeat(Cn, rep, axis=2)
+    S = np.zeros((b, H, P, Bn.shape[3]))
+    ys = np.empty_like(x)
+    for t in range(L):
+        a = np.exp(dtv[:, t] * A)                  # (b, H)
+        S = (a[..., None, None] * S
+             + dtv[:, t][..., None, None]
+             * x[:, t][..., None] * Bh[:, t][:, :, None, :])
+        ys[:, t] = np.einsum("bhpn,bhn->bhp", S, Ch[:, t]) + Dn[:, None] * x[:, t]
+    return ys
+
+
+def _kernel_check_ssd(cpu, dev, results):
+    """Round-5 hardware gate for the Mamba-2 SSD chunked scan
+    (ops/ssd.py): the fast path is pure jnp, but the real-dtype chunked
+    Mamba-1 backend already caught one XLA:TPU backward miscompile
+    (kernel_check docstring), so the new op gets the same standing gate —
+    forward vs an f64 numpy sequential truth, grads vs the CPU run on
+    identical inputs, fp32 AND bf16."""
+    import numpy as np
+
+    from zigma_tpu.ops.ssd import ssd_scan
+
+    ok_all = True
+    B_, L, H, P, G, N = 8, 512, 8, 32, 1, 32
+    for dtype, fwd_abs, fwd_rms, gr, ga in [
+            (jnp.float32, 2e-2, 2e-4, 2e-3, 2e-3),
+            (jnp.bfloat16, 1.5, 1e-2, 3e-2, 5e-2)]:
+        with jax.default_device(cpu):
+            ks = jax.random.split(jax.random.PRNGKey(21), 6)
+            x = jax.random.normal(ks[0], (B_, L, H, P), dtype)
+            dt = jax.random.normal(ks[1], (B_, L, H)) * 0.5
+            A = -jnp.exp(jax.random.normal(ks[2], (H,)))
+            Bv = jax.random.normal(ks[3], (B_, L, G, N), dtype)
+            Cv = jax.random.normal(ks[4], (B_, L, G, N), dtype)
+            Dskip = jax.random.normal(ks[5], (H,))
+            dtb = jnp.full((H,), 0.05, jnp.float32)
+        args_cpu = (x, dt, A, Bv, Cv, Dskip)
+        args = jax.device_put(args_cpu, dev)
+        dtb_dev = jax.device_put(dtb, dev)
+        y_gold = _ssd_truth_f64(x, dt, A, Bv, Cv, Dskip, dtb)
+
+        def loss(b):
+            def f(x, dt, A, Bv, Cv, Dskip):
+                y = ssd_scan(x, dt, A, Bv, Cv, D=Dskip, dt_bias=b,
+                             dt_softplus=True)
+                return jnp.sum(y.astype(jnp.float32) ** 2) / y.size
+            return f
+
+        y_dev = jax.jit(lambda *a: ssd_scan(
+            *a[:5], D=a[5], dt_bias=dtb_dev, dt_softplus=True))(*args)
+        g_dev = jax.jit(jax.grad(loss(dtb_dev),
+                                 argnums=tuple(range(6))))(*args)
+        with jax.default_device(cpu):
+            g_ref = jax.jit(jax.grad(loss(dtb),
+                                     argnums=tuple(range(6))))(*args_cpu)
+
+        entry = {}
+        err = np.abs(np.asarray(jax.device_get(y_dev), np.float64) - y_gold)
+        gold_rms = float(np.sqrt(np.mean(y_gold ** 2)))
+        max_abs = float(err.max())
+        rms_ratio = float(np.sqrt(np.mean(err ** 2)) / gold_rms)
+        passed = max_abs <= fwd_abs and rms_ratio <= fwd_rms
+        ok_all &= passed
+        entry["y"] = {"max_abs_err": round(max_abs, 8),
+                      "err_rms_ratio": float(f"{rms_ratio:.3g}"),
+                      "tol": f"abs<={fwd_abs},rms<={fwd_rms}",
+                      "golden": "f64 numpy sequential", "ok": passed}
+        for name, a, b in zip(["dx", "ddt", "dA", "dB", "dC", "dD"],
+                              g_dev, g_ref):
+            a_h = np.asarray(jax.device_get(a), np.float32)
+            b_h = np.asarray(jax.device_get(b), np.float32)
+            diff = np.abs(a_h - b_h)
+            viol = float(np.max(diff - (ga + gr * np.abs(b_h))))
+            passed = viol <= 0.0
+            ok_all &= passed
+            entry[name] = {"max_abs_err": round(float(diff.max()), 8),
+                           "tol": f"rtol={gr},atol={ga}",
+                           "golden": "cpu chunked f32", "ok": passed}
+        tag = f"{jnp.dtype(dtype).name}:ssd_chunked_tpu"
         results[tag] = entry
         print(json.dumps({"impl": tag, **{
             k: v["max_abs_err"] for k, v in entry.items()},

@@ -145,6 +145,12 @@ def _ssd_chunked(x, dt, A, B, C, D, z, dt_bias, dt_softplus,
     pad = (-L) % Q
     nc = (L + pad) // Q
     mm = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+    # fp32 inputs must request full-precision MXU passes: XLA:TPU lowers
+    # fp32 dots to single-pass bf16 multiplies by DEFAULT, which silently
+    # degrades the "fp32" scan to bf16-class accuracy (caught by the
+    # f64-truth hardware gate, bench.py _kernel_check_ssd); the hot bf16
+    # path is unaffected
+    prec = "highest" if mm == jnp.float32 else None
 
     # zero-pad dt AFTER softplus: dt=0 rows have decay 1 and inject nothing,
     # so padding never perturbs the carried state (mirrors the Pallas
@@ -171,20 +177,22 @@ def _ssd_chunked(x, dt, A, B, C, D, z, dt_bias, dt_softplus,
 
     # ---- intra-chunk: Y = ((C B^T) ⊙ M) X per (chunk, head) ------------
     cb = jnp.einsum("bcqgn,bcsgn->bcgqs", Cc.astype(mm), Bc.astype(mm),
-                    preferred_element_type=jnp.float32)     # (b,nc,G,Q,Q)
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                         # (b,nc,G,Q,Q)
     # M_{t,s} = exp(cum_t − cum_s) · dt_s  for s <= t, else 0  (fp32)
     seg = cum[..., :, None] - cum[..., None, :]             # (b,nc,G,Hg,t,s)
     mask = jnp.tril(jnp.ones((Q, Q), bool))
     decay = jnp.where(mask, jnp.exp(jnp.where(mask, seg, 0.0)), 0.0)
     scores = (cb[:, :, :, None] * decay * dth[..., None, :]).astype(mm)
     y_intra = jnp.einsum("bcghts,bcsghp->bctghp", scores, xc.astype(mm),
-                         preferred_element_type=mm)
+                         preferred_element_type=mm, precision=prec)
 
     # ---- chunk aggregates: S_c = (B · decay_to_end · dt)^T X ------------
     dte = jnp.exp(cum[..., -1:] - cum) * dth                # (b,nc,G,Hg,Q)
     s_chunk = jnp.einsum("bcqgn,bcghq,bcqghp->bcghpn",
                          Bc.astype(mm), dte.astype(mm), xc.astype(mm),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
 
     # ---- inter-chunk fp32 state recurrence over nc chunk aggregates -----
     a_chunk = jnp.exp(cum[..., -1])                         # (b,nc,G,Hg)
@@ -206,7 +214,8 @@ def _ssd_chunked(x, dt, A, B, C, D, z, dt_bias, dt_softplus,
     cdec = (Cc.astype(jnp.float32)[:, :, :, :, None, :] *
             jnp.transpose(jnp.exp(cum), (0, 1, 4, 2, 3))[..., None])
     y_inter = jnp.einsum("bcqghn,bcghpn->bcqghp", cdec.astype(mm),
-                         S_prev.astype(mm), preferred_element_type=mm)
+                         S_prev.astype(mm), preferred_element_type=mm,
+                         precision=prec)
 
     y = (y_intra.astype(jnp.float32) + y_inter.astype(jnp.float32)
          ).reshape(batch, nc * Q, H, P)[:, :L]
