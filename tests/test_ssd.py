@@ -300,6 +300,27 @@ class TestMamba2LM:
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+class TestMamba2TrainCLI:
+    def test_ssm2_preset_trains(self, tmp_path):
+        """The shipped zigzag8_b1_pe2_ssm2 preset wires ssm_cfg through
+        the YAML -> registry -> ZigMaBlock mixer-selection path; shrunk
+        to toy geometry for the smoke run."""
+        from zigma_tpu.cli.train import main
+
+        out = str(tmp_path / "out")
+        state = main([
+            "model=zigzag8_b1_pe2_ssm2", "data=synthetic",
+            "data.batch_size=8", "data.train_steps=2",
+            "model.params.embed_dim=32", "model.params.depth=2",
+            "model.params.img_dim=8", "model.params.patch_size=2",
+            "model.params.use_checkpoint=false",
+            "model.params.ssm_cfg.d_state=8",
+            "model.params.ssm_cfg.headdim=16",
+            "mixed_precision=fp32", "log_every=1", "ckpt_every=1000000",
+            f"results_dir={out}"])
+        assert int(jax.device_get(state.step)) == 2
+
+
 class TestZigMaMamba2:
     """ZigMa with ssm_cfg={'ssm_version': 2}: the MXU-mixer denoiser."""
 
