@@ -158,6 +158,14 @@ def main():
            "shape": dict(batch=B, L=L, d_model=D_MODEL),
            "mixer": mixer_rows(), "sampling": sampling_rows()}
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    # merge-preserve keys this script does not produce (the formulation
+    # A/B record "ab_v3" and the training rows "training_bs16_chain8"
+    # that DESIGN.md §11 cites) — a re-run must not delete cited evidence
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            prev = json.load(f)
+        prev.update(out)
+        out = prev
     with open(RESULTS, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", RESULTS)

@@ -113,7 +113,10 @@ class TestSSDSeqParallel:
 
         x, dt, A, B, C, Dskip, bias, z = self._inputs()
         mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("seq",))
-        fn = shard_map(
+        # STRICT vma typing (no check_vma=False): pins the carry-variance
+        # fix in _ssd_chunked/ssd_scan_ref -- a literal-zeros lax.scan
+        # carry under shard_map used to be a trace-time type error
+        fn = jax.shard_map(
             partial(ssd_seq_parallel, dt_softplus=True, axis_name="seq",
                     chunk=16),
             mesh=mesh,
@@ -140,7 +143,7 @@ class TestSSDSeqParallel:
                 x, dt, A, B, C, D=Dskip, z=None, dt_bias=bias,
                 dt_softplus=True, axis_name="seq", chunk=16)
 
-        sp = shard_map(
+        sp = jax.shard_map(
             sp_body,
             mesh=mesh,
             in_specs=(P(None, "seq"), P(None, "seq"), P(),

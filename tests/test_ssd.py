@@ -382,6 +382,24 @@ class TestZigMaMamba2:
             params, x_sh, t)
         assert out.shape == x.shape and jnp.isfinite(out).all()
 
+        # stacked (scan-over-layers) layout: the Mamba-1 branch rules must
+        # NOT shard the SSD branch's recurrence params — a bare A_log rule
+        # would put the LAYER axis of the stacked (depth, nheads) A_log on
+        # 'model' (wrong semantics + a divisibility crash at depth % tp
+        # != 0); in/out_proj keep their generic column/row sharding
+        m_scan = ZigMa(in_channels=4, embed_dim=64, depth=3, img_dim=8,
+                       patch_size=1, scan_type="zigzagN8", use_pe=2,
+                       scan_layers=True,
+                       ssm_cfg=dict(ssm_version=2, d_state=16, headdim=16))
+        p_scan = m_scan.init(jax.random.PRNGKey(1), x, t)
+        sh = zigma_param_sharding(p_scan, mesh)
+        blocks = sh["params"]["blocks"]["mixer"]
+        assert blocks["ssd"]["A_log"].spec == P()
+        assert blocks["ssd"]["dt_bias"].spec == P()
+        assert "model" in tuple(blocks["in_proj"]["kernel"].spec)
+        # depth=3 is NOT divisible by model=2 — placement must still work
+        jax.tree.map(jax.device_put, p_scan, sh)
+
     def test_train_step_smoke(self):
         """One jitted grad step through the Mamba2 denoiser."""
         model = self._model()

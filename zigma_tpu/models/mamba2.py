@@ -43,19 +43,17 @@ Mamba-1 vestige (dead code in the reference) and is not defined here.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.ad_checkpoint import checkpoint_name
 
 from zigma_tpu.models.inits import torch_linear_init
-from zigma_tpu.models.mamba import (_dt_bias_init, permute_tokens,
-                                    vjp_inverse)
+from zigma_tpu.models.mamba import (_conv_init, _dt_bias_init,
+                                    permute_tokens, vjp_inverse)
 from zigma_tpu.ops.causal_conv1d import causal_conv1d, causal_conv1d_update
 from zigma_tpu.ops.ssd import ssd_scan, ssd_state_update
 
@@ -68,15 +66,6 @@ def _a_log_init_scalar(a_init_range):
 
     def init(key, shape, dtype=jnp.float32):
         return jnp.log(jax.random.uniform(key, shape, dtype, lo, hi))
-
-    return init
-
-
-def _conv_init(d_conv: int):
-    bound = 1.0 / math.sqrt(d_conv)
-
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
 

@@ -28,8 +28,14 @@ projections in DESIGN.md §2 are plain jnp).
 Numerical notes:
 
 - decays/cumsums are computed in fp32 regardless of the activation dtype;
-  the matmul operands are cast to the input dtype (bf16 on the hot path)
-  with fp32 MXU accumulation (``preferred_element_type``).
+  matmul operands are cast to the input dtype (bf16 on the hot path).
+  The (C Bᵀ) scores and the chunk aggregates request fp32 outputs
+  (``preferred_element_type``); the two big Y einsums emit the compute
+  dtype (a measured HBM-traffic choice, DESIGN.md §11) and are summed in
+  fp32.  For fp32 inputs every einsum additionally requests
+  ``precision="highest"`` — XLA:TPU otherwise lowers fp32 dots to
+  single-pass bf16 multiplies, silently degrading the result to
+  bf16-class accuracy (caught by the hardware gate).
 - with A < 0 and dt >= 0 (always true after ``dt_softplus``), every
   exponent ``cum_t − cum_s`` (s <= t), ``cum_last − cum_q`` and ``cum_t``
   is <= 0, so the segment-sum trick cannot overflow.  Raw negative dt
@@ -117,6 +123,9 @@ def ssd_scan_ref(x, dt, A, B, C, D=None, z=None, dt_bias=None,
 
     S0 = (jnp.zeros((batch, H, P, N), jnp.float32) if initial_state is None
           else initial_state.astype(jnp.float32))
+    # carry variance must match the scanned inputs under shard_map's vma
+    # typing (see the identical fix in _ssd_chunked)
+    S0 = S0 + 0.0 * xf[:, 0, :, :, None]
 
     def step(S, inp):
         xt, dtt, Bt, Ct = inp            # (b,H,P) (b,H) (b,G,N) (b,G,N)
@@ -199,6 +208,12 @@ def _ssd_chunked(x, dt, A, B, C, D, z, dt_bias, dt_softplus,
     S0 = (jnp.zeros((batch, G, Hg, P, N), jnp.float32) if initial_state is None
           else initial_state.astype(jnp.float32).reshape(
               batch, G, Hg, P, N))
+    # under shard_map's vma typing a literal-zeros carry is
+    # device-INVARIANT while the scanned aggregates are varying — a
+    # trace-time carry-type error (hit by ssd_seq_parallel pass 1).
+    # Deriving the carry from the aggregates fixes the variance type;
+    # XLA folds the 0-multiply (NaN/Inf inputs would poison y anyway)
+    S0 = S0 + 0.0 * s_chunk[:, 0]
 
     def step(S, inp):
         ac, sc = inp                                        # (b,G,Hg) ...

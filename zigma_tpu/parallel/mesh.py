@@ -86,13 +86,21 @@ def replicate(tree, mesh: Mesh):
 # per mixer, inserted automatically by XLA from these shardings.
 _TP_RULES = [
     (r".*in_proj/kernel$", P(None, "model")),
-    (r".*x_proj_kernel$", P("model", None)),
-    (r".*dt_proj_kernel$", P(None, "model")),
-    (r".*dt_proj_bias$", P("model")),
-    (r".*conv1d_weight$", P("model", None)),
-    (r".*conv1d_bias$", P("model")),
-    (r".*A_log$", P("model", None)),
-    (r".*/D$", P("model")),
+    # scan-branch params are scoped to the Mamba-1 branch modules
+    # (scan / scan_b / scan_bN): the Mamba-2 SSD branch (ssd / ssd_b)
+    # reuses some leaf NAMES at different ranks/meanings — e.g. its
+    # A_log is (nheads,) or stacked (depth, nheads), where a bare
+    # `.*A_log$` rule would shard the LAYER axis over 'model' (wrong
+    # semantics, and a divisibility crash when depth % tp != 0).
+    # Mamba-2 recurrence params simply replicate; its in/out_proj (the
+    # memory/compute that matters) still shard via the generic rules.
+    (r".*/scan[^/]*/x_proj_kernel$", P("model", None)),
+    (r".*/scan[^/]*/dt_proj_kernel$", P(None, "model")),
+    (r".*/scan[^/]*/dt_proj_bias$", P("model")),
+    (r".*/scan[^/]*/conv1d_weight$", P("model", None)),
+    (r".*/scan[^/]*/conv1d_bias$", P("model")),
+    (r".*/scan[^/]*/A_log$", P("model", None)),
+    (r".*/scan[^/]*/D$", P("model")),
     (r".*out_proj/kernel$", P("model", None)),
     # cross-attention heads over model axis
     (r".*to_[qkv]/kernel$", P(None, "model")),
